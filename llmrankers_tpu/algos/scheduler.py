@@ -1,0 +1,171 @@
+"""Cooperative wave-batching scheduler.
+
+This is the core TPU-native inversion of the reference's control flow. The
+reference drives its sort algorithms with synchronous, batch-1
+``compare()`` calls (one ``llm.generate`` per heap operation,
+/root/reference/llmrankers/setwise.py:200-232) — fatal on TPU, where a
+batch-1 dispatch wastes the MXU and dynamic shapes force recompiles.
+
+Here, ranking algorithms are written as ``async`` coroutines that ``await
+engine.compare(request)``. The :class:`WaveRunner` runs many coroutines at
+once — one per query, plus intra-query subtasks for independent heap
+subtrees — and flushes a batch exactly when every live task is blocked on a
+comparison (or the batch budget is hit). Each flush is one fixed-shape
+forward on device. Algorithm *semantics* are untouched: each coroutine
+performs the same comparisons in the same per-query order as the
+reference, so outcomes (and NDCG) are identical; only the device schedule
+changes.
+"""
+from __future__ import annotations
+
+import asyncio
+from dataclasses import dataclass, field
+from typing import Any, Awaitable, Callable, Coroutine, Generic, List, Optional, Sequence, TypeVar
+
+R = TypeVar("R")  # request type
+O = TypeVar("O")  # outcome type
+
+# A batch executor: takes the pending requests, returns one outcome each.
+BatchFn = Callable[[List[Any]], List[Any]]
+
+
+@dataclass(order=True)
+class _Pending:
+    """One blocked comparison, ordered deterministically."""
+
+    seq: int
+    request: Any = field(compare=False)
+    future: asyncio.Future = field(compare=False)
+
+
+class WaveRunner:
+    """Runs ranking coroutines, batching their compare() calls into waves.
+
+    The flush condition is "all live tasks are blocked": at that moment the
+    pending set is a maximal wave of mutually independent comparisons.
+    Results for each request depend only on that request (each row of the
+    batch is an independent forward), so batch composition cannot change
+    outcomes — determinism is preserved no matter how queries interleave.
+
+    ``max_batch_size`` optionally splits oversized waves so device memory
+    stays bounded; the backend may further bucket by sequence length.
+    """
+
+    def __init__(self, batch_fn: BatchFn, max_batch_size: Optional[int] = None):
+        self._batch_fn = batch_fn
+        self._max_batch = max_batch_size
+        self._pending: List[_Pending] = []
+        self._live = 0  # tasks that may still submit requests
+        self._seq = 0
+        self._wave_event: Optional[asyncio.Event] = None
+        self.num_waves = 0  # device dispatches issued (observability)
+
+    # ------------------------------------------------------------------
+    # API used by algorithm coroutines
+    # ------------------------------------------------------------------
+    async def compare(self, request: Any) -> Any:
+        """Submit one comparison and suspend until its outcome is ready."""
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._pending.append(_Pending(self._seq, request, fut))
+        self._seq += 1
+        self._maybe_signal()
+        return await fut
+
+    async def gather(self, coros: Sequence[Coroutine]) -> List[Any]:
+        """Run subtasks concurrently (e.g. sibling heapify chains).
+
+        Keeps the live-task count accurate so the flush condition still
+        means "every runnable task is blocked".
+        """
+        if not coros:
+            return []
+        self._live += len(coros)
+        tasks = [asyncio.ensure_future(self._tracked(c)) for c in coros]
+        # The awaiting parent is blocked but not on a compare -> it must not
+        # count as live, else the runner would deadlock waiting for it.
+        self._live -= 1
+        try:
+            return await asyncio.gather(*tasks)
+        finally:
+            self._live += 1
+
+    async def _tracked(self, coro: Coroutine) -> Any:
+        try:
+            return await coro
+        finally:
+            self._live -= 1
+            self._maybe_signal()
+
+    # ------------------------------------------------------------------
+    # Driver
+    # ------------------------------------------------------------------
+    def run(self, coros: Sequence[Coroutine]) -> List[Any]:
+        """Run top-level coroutines to completion; returns their results."""
+        return asyncio.run(self._main(coros))
+
+    async def _main(self, coros: Sequence[Coroutine]) -> List[Any]:
+        self._live = len(coros)
+        self._wave_event = asyncio.Event()
+        tasks = [asyncio.ensure_future(self._tracked(c)) for c in coros]
+        try:
+            while any(not t.done() for t in tasks):
+                await self._wave_event.wait()
+                self._wave_event.clear()
+                # Let every ready callback run so the pending wave is maximal.
+                await _drain_ready()
+                if self._pending:
+                    self._flush()
+                elif all(t.done() for t in tasks):
+                    break
+            return [t.result() for t in tasks]
+        finally:
+            for t in tasks:
+                if not t.done():
+                    t.cancel()
+
+    def _maybe_signal(self) -> None:
+        if self._wave_event is None:
+            return
+        batch_full = self._max_batch is not None and len(self._pending) >= self._max_batch
+        all_blocked = self._live > 0 and len(self._pending) >= self._live
+        done = self._live == 0
+        if batch_full or all_blocked or done:
+            self._wave_event.set()
+
+    def _flush(self) -> None:
+        self._pending.sort()  # deterministic submission order
+        wave = self._pending
+        self._pending = []
+        limit = self._max_batch or len(wave)
+        for i in range(0, len(wave), limit):
+            chunk = wave[i : i + limit]
+            outcomes = self._batch_fn([p.request for p in chunk])
+            self.num_waves += 1
+            if len(outcomes) != len(chunk):
+                raise RuntimeError(
+                    f"batch_fn returned {len(outcomes)} outcomes for {len(chunk)} requests"
+                )
+            for p, out in zip(chunk, outcomes):
+                if not p.future.done():
+                    p.future.set_result(out)
+
+
+async def _drain_ready() -> None:
+    """Yield to the event loop until no immediately-runnable callbacks remain.
+
+    A bounded number of zero-sleep yields lets chains of already-resolved
+    awaits (futures set during the previous flush) advance until every task
+    is genuinely blocked on an unresolved future.
+    """
+    for _ in range(3):
+        await asyncio.sleep(0)
+
+
+def run_sync(
+    batch_fn: BatchFn,
+    coros: Sequence[Coroutine],
+    max_batch_size: Optional[int] = None,
+) -> List[Any]:
+    """Convenience: run coroutines under a fresh WaveRunner."""
+    return WaveRunner(batch_fn, max_batch_size).run(coros)

@@ -1,0 +1,141 @@
+"""Setwise ranking algorithms: multi-child heapsort and bubblesort.
+
+Behavioral parity with /root/reference/llmrankers/setwise.py:200-293:
+  * heapify picks the winner among a node and its ``num_child`` children via
+    one setwise comparison; out-of-range model answers fall back to the
+    root (setwise.py:206-213 handles ValueError->0 / IndexError->i).
+  * heapSort builds a max-heap bottom-up then pops k times.
+  * bubblesort slides a (num_child+1)-window from the bottom with the
+    "skip unchanged bottom" optimization (setwise.py:243-273).
+
+TPU-native difference: these are ``async`` coroutines driven by
+:class:`~llmrankers_tpu.algos.scheduler.WaveRunner`. The heap build phase
+exposes its natural parallelism — all heapify chains at one tree depth act
+on disjoint subtrees — as concurrent subtasks, and the sequential pop
+phase still batches across queries. Comparison outcomes are identical to
+the reference's sequential order because same-depth chains are
+independent.
+
+The ``compare`` callable receives ``(root_doc, *child_docs)`` index lists
+and resolves to the *raw* best index the model produced (it may be out of
+range; fallback handling mirrors the reference).
+"""
+from __future__ import annotations
+
+from typing import Any, Awaitable, Callable, List, Sequence
+
+from .scheduler import WaveRunner
+
+# compare(docs: List[Any]) -> int  (index into docs of the winner; may be
+# out of range when the model emits an unexpected label)
+SetCompare = Callable[[List[Any]], Awaitable[int]]
+
+
+async def _heapify_chain(
+    arr: List[Any], n: int, i: int, num_child: int, compare: SetCompare
+) -> None:
+    """Sift node ``i`` down its subtree (iterative form of setwise.py:200-217)."""
+    while num_child * i + 1 < n:
+        lo = num_child * i + 1
+        hi = min(num_child * (i + 1) + 1, n)
+        docs = [arr[i]] + arr[lo:hi]
+        inds = [i] + list(range(lo, hi))
+        best = await compare(docs)
+        # Fallbacks: unparseable label -> 0 handled by comparator;
+        # parseable-but-out-of-range label -> keep root (IndexError -> i).
+        largest = inds[best] if 0 <= best < len(inds) else i
+        if largest == i:
+            return
+        arr[i], arr[largest] = arr[largest], arr[i]
+        i = largest
+
+
+def _levels(n: int, num_child: int) -> List[List[int]]:
+    """Group the build indices range(n//num_child, -1, -1) by tree depth,
+    deepest first, preserving descending order within a depth."""
+    if n <= 0:
+        return []
+    depth_of = [0] * (n // num_child + 1)
+    for i in range(1, len(depth_of)):
+        depth_of[i] = depth_of[(i - 1) // num_child] + 1
+    buckets: dict[int, List[int]] = {}
+    for i in range(n // num_child, -1, -1):
+        buckets.setdefault(depth_of[i], []).append(i)
+    return [buckets[d] for d in sorted(buckets, reverse=True)]
+
+
+async def heapsort(
+    runner: WaveRunner,
+    arr: List[Any],
+    k: int,
+    num_child: int,
+    compare: SetCompare,
+) -> List[Any]:
+    """Partial multi-child max-heapsort; top-k land at the array tail
+    (reference heapSort, setwise.py:219-232). Returns ``arr`` reversed so
+    the best element is first, as rerank() consumes it (setwise.py:240)."""
+    n = len(arr)
+    # Build phase: one wave of independent sift-down chains per tree depth.
+    for level in _levels(n, num_child):
+        if len(level) == 1:
+            await _heapify_chain(arr, n, level[0], num_child, compare)
+        else:
+            await runner.gather(
+                [_heapify_chain(arr, n, i, num_child, compare) for i in level]
+            )
+    # Pop phase: inherently sequential per query; batches across queries.
+    ranked = 0
+    for i in range(n - 1, 0, -1):
+        arr[i], arr[0] = arr[0], arr[i]
+        ranked += 1
+        if ranked == k:
+            break
+        await _heapify_chain(arr, i, 0, num_child, compare)
+    return list(reversed(arr))
+
+
+async def bubblesort(
+    runner: WaveRunner,
+    arr: List[Any],
+    k: int,
+    num_child: int,
+    compare: SetCompare,
+) -> List[Any]:
+    """Top-k multi-doc bubblesort with window caching (setwise.py:243-273).
+
+    A (num_child+1)-wide window walks bottom-up by num_child per step; the
+    winner is swapped to the window head. If a full upward pass makes no
+    swap below the frontier, the stale bottom region is skipped on later
+    passes (``last_start`` bookkeeping identical to the reference).
+    """
+    ranking = arr
+    last_start = len(ranking) - (num_child + 1)
+    for i in range(k):
+        start_ind = last_start
+        end_ind = last_start + (num_child + 1)
+        is_change = False
+        while True:
+            if start_ind < i:
+                start_ind = i
+            window = ranking[start_ind:end_ind]
+            best = await compare(window)
+            best_ind = best if 0 <= best < len(window) else 0
+            if best_ind != 0:
+                ranking[start_ind], ranking[start_ind + best_ind] = (
+                    ranking[start_ind + best_ind],
+                    ranking[start_ind],
+                )
+                if not is_change:
+                    is_change = True
+                    if (
+                        last_start != len(ranking) - (num_child + 1)
+                        and best_ind == len(window) - 1
+                    ):
+                        last_start += len(window) - 1
+            if start_ind == i:
+                break
+            if not is_change:
+                last_start -= num_child
+            start_ind -= num_child
+            end_ind -= num_child
+    return ranking

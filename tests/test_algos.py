@@ -1,0 +1,352 @@
+"""Algorithm-layer parity tests.
+
+Each wave-batched async algorithm is checked against a sequential oracle
+that transcribes the reference's control flow exactly (setwise.py:200-293,
+pairwise.py:133-277, listwise.py:178-196). Comparators are deterministic
+functions of document content, so wave batching must reproduce the
+oracle's final ordering bit-for-bit — including fallback behavior on
+"unexpected model output".
+"""
+import random
+
+import pytest
+
+from llmrankers_tpu.algos import (
+    WaveRunner,
+    listwise_window,
+    pairwise_sort,
+    permutation,
+    setwise_sort,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sequential oracles (reference semantics, sync)
+# ---------------------------------------------------------------------------
+def oracle_setwise_heapsort(arr, k, num_child, pick):
+    arr = list(arr)
+
+    def heapify(n, i):
+        if num_child * i + 1 < n:
+            docs = [arr[i]] + arr[num_child * i + 1 : min(num_child * (i + 1) + 1, n)]
+            inds = [i] + list(range(num_child * i + 1, min(num_child * (i + 1) + 1, n)))
+            best = pick(docs)
+            largest = inds[best] if 0 <= best < len(inds) else i
+            if largest != i:
+                arr[i], arr[largest] = arr[largest], arr[i]
+                heapify(n, largest)
+
+    n = len(arr)
+    for i in range(n // num_child, -1, -1):
+        heapify(n, i)
+    ranked = 0
+    for i in range(n - 1, 0, -1):
+        arr[i], arr[0] = arr[0], arr[i]
+        ranked += 1
+        if ranked == k:
+            break
+        heapify(i, 0)
+    return list(reversed(arr))
+
+
+def oracle_setwise_bubblesort(arr, k, num_child, pick):
+    ranking = list(arr)
+    last_start = len(ranking) - (num_child + 1)
+    for i in range(k):
+        start_ind = last_start
+        end_ind = last_start + (num_child + 1)
+        is_change = False
+        while True:
+            if start_ind < i:
+                start_ind = i
+            window = ranking[start_ind:end_ind]
+            b = pick(window)
+            best_ind = b if 0 <= b < len(window) else 0
+            if best_ind != 0:
+                ranking[start_ind], ranking[start_ind + best_ind] = (
+                    ranking[start_ind + best_ind],
+                    ranking[start_ind],
+                )
+                if not is_change:
+                    is_change = True
+                    if (
+                        last_start != len(ranking) - (num_child + 1)
+                        and best_ind == len(window) - 1
+                    ):
+                        last_start += len(window) - 1
+            if start_ind == i:
+                break
+            if not is_change:
+                last_start -= num_child
+            start_ind -= num_child
+            end_ind -= num_child
+    return ranking
+
+
+def oracle_pairwise_heapsort(arr, k, gt):
+    arr = list(arr)
+
+    def heapify(n, i):
+        largest = i
+        l, r = 2 * i + 1, 2 * i + 2
+        if l < n and gt(arr[l], arr[i]):
+            largest = l
+        if r < n and gt(arr[r], arr[largest]):
+            largest = r
+        if largest != i:
+            arr[i], arr[largest] = arr[largest], arr[i]
+            heapify(n, largest)
+
+    n = len(arr)
+    for i in range(n // 2, -1, -1):
+        heapify(n, i)
+    ranked = 0
+    for i in range(n - 1, 0, -1):
+        arr[i], arr[0] = arr[0], arr[i]
+        ranked += 1
+        if ranked == k:
+            break
+        heapify(i, 0)
+    return list(reversed(arr))
+
+
+def oracle_pairwise_bubblesort(arr, k, gt):
+    ranking = list(arr)
+    k = min(k, len(ranking))
+    last_end = len(ranking) - 1
+    for i in range(k):
+        current_ind = last_end
+        is_change = False
+        while True:
+            if current_ind <= i:
+                break
+            if gt(ranking[current_ind], ranking[current_ind - 1]):
+                ranking[current_ind - 1], ranking[current_ind] = (
+                    ranking[current_ind],
+                    ranking[current_ind - 1],
+                )
+                if not is_change:
+                    is_change = True
+                    if last_end != len(ranking) - 1:
+                        last_end += 1
+            if not is_change:
+                last_end -= 1
+            current_ind -= 1
+    return ranking
+
+
+# ---------------------------------------------------------------------------
+# Deterministic comparators
+# ---------------------------------------------------------------------------
+def make_set_pick(noise_rate=0.0, seed=0):
+    """Winner = max value; with noise, sometimes emit an out-of-range index
+    (models the reference's 'Unexpected output' fallback paths)."""
+
+    def pick(docs):
+        if not docs:
+            return 0
+        if noise_rate:
+            h = hash((tuple(docs), seed)) % 1000
+            if h < noise_rate * 1000:
+                return len(docs) + 3  # out of range -> fallback
+        return max(range(len(docs)), key=lambda i: docs[i])
+
+    return pick
+
+
+def make_pair_gt(conflict_rate=0.0, seed=0):
+    def gt(a, b):
+        if conflict_rate and hash((a, b, seed)) % 1000 < conflict_rate * 1000:
+            return False  # disagreement between orderings -> not greater
+        return a > b
+
+    return gt
+
+
+def batch_fn_counter(pick, log):
+    def fn(requests):
+        log.append(len(requests))
+        return [pick(r) for r in requests]
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n,num_child,k", [(100, 2, 10), (100, 9, 10), (20, 3, 5), (7, 3, 7), (1, 2, 1), (2, 5, 2)])
+@pytest.mark.parametrize("noise", [0.0, 0.2])
+def test_setwise_heapsort_matches_oracle(n, num_child, k, noise):
+    rng = random.Random(929)
+    arr = rng.sample(range(10000), n)
+    pick = make_set_pick(noise)
+    expected = oracle_setwise_heapsort(arr, k, num_child, pick)
+
+    log = []
+    runner = WaveRunner(batch_fn_counter(pick, log))
+    got = runner.run(
+        [setwise_sort.heapsort(runner, list(arr), k, num_child, pick_async(runner))]
+    )[0]
+    assert got == expected
+    # Wave batching must actually batch: far fewer dispatches than compares.
+    total = sum(log)
+    if n >= 20:
+        assert len(log) < total
+
+
+def pick_async(runner):
+    async def compare(docs):
+        return await runner.compare(docs)
+
+    return compare
+
+
+@pytest.mark.parametrize("n,num_child,k", [(50, 2, 10), (30, 4, 10), (12, 3, 12)])
+@pytest.mark.parametrize("noise", [0.0, 0.15])
+def test_setwise_bubblesort_matches_oracle(n, num_child, k, noise):
+    rng = random.Random(7)
+    arr = rng.sample(range(10000), n)
+    pick = make_set_pick(noise)
+    expected = oracle_setwise_bubblesort(arr, k, num_child, pick)
+
+    runner = WaveRunner(lambda reqs: [pick(r) for r in reqs])
+    got = runner.run(
+        [setwise_sort.bubblesort(runner, list(arr), k, num_child, pick_async(runner))]
+    )[0]
+    assert got == expected
+
+
+@pytest.mark.parametrize("n,k", [(100, 10), (17, 5), (2, 1), (50, 50)])
+@pytest.mark.parametrize("conflict", [0.0, 0.2])
+def test_pairwise_heapsort_matches_oracle(n, k, conflict):
+    rng = random.Random(3)
+    arr = rng.sample(range(10000), n)
+    gt = make_pair_gt(conflict)
+    expected = oracle_pairwise_heapsort(arr, k, gt)
+
+    runner = WaveRunner(lambda reqs: [gt(a, b) for a, b in reqs])
+
+    async def agt(a, b):
+        return await runner.compare((a, b))
+
+    got = runner.run([pairwise_sort.heapsort(runner, list(arr), k, agt)])[0]
+    assert got == expected
+
+
+@pytest.mark.parametrize("n,k", [(40, 10), (10, 10), (3, 1)])
+@pytest.mark.parametrize("conflict", [0.0, 0.2])
+def test_pairwise_bubblesort_matches_oracle(n, k, conflict):
+    rng = random.Random(11)
+    arr = rng.sample(range(10000), n)
+    gt = make_pair_gt(conflict)
+    expected = oracle_pairwise_bubblesort(arr, k, gt)
+
+    runner = WaveRunner(lambda reqs: [gt(a, b) for a, b in reqs])
+
+    async def agt(a, b):
+        return await runner.compare((a, b))
+
+    got = runner.run([pairwise_sort.bubblesort(runner, list(arr), k, agt)])[0]
+    assert got == expected
+
+
+def test_pairwise_allpair_scoring():
+    arr = [3, 1, 4, 1, 5]
+    keys = {id(v): str(i) for i, v in enumerate(arr)}
+    arr = list(range(5))  # distinct values, key = str(value)
+
+    runner = WaveRunner(lambda reqs: [r for r in reqs])
+
+    async def both(a, b):
+        # Consistent comparator: bigger value always wins both orderings.
+        return await runner.compare(("A" if a > b else "B", "B" if a > b else "A"))
+
+    ranked = runner.run(
+        [pairwise_sort.allpair(runner, arr, keyfn=str, compare_both=both)]
+    )[0]
+    # Like the reference (pairwise.py:205-219), a doc that never wins and
+    # never conflicts gets no score entry at all — the tail assembly
+    # re-appends it later. So "0" is absent here.
+    assert [k for k, _ in ranked] == ["4", "3", "2", "1"]
+    assert [s for _, s in ranked] == [4.0, 3.0, 2.0, 1.0]
+
+
+def test_pairwise_allpair_conflict_split():
+    arr = [0, 1]
+    runner = WaveRunner(lambda reqs: [r for r in reqs])
+
+    async def both(a, b):
+        return await runner.compare(("A", "A"))  # conflict
+
+    ranked = runner.run(
+        [pairwise_sort.allpair(runner, arr, keyfn=str, compare_both=both)]
+    )[0]
+    assert dict(ranked) == {"0": 0.5, "1": 0.5}
+
+
+def test_permutation_parsing():
+    assert permutation.parse_permutation("[2] > [1] > [3]", 3) == [1, 0, 2]
+    # Dedupe keeps first occurrence; out-of-range dropped; missing appended.
+    assert permutation.parse_permutation("[2] > [2] > [9]", 3) == [1, 0, 2]
+    assert permutation.parse_permutation("garbage", 3) == [0, 1, 2]
+    assert permutation.parse_permutation("The answer: [3]>[1]", 4) == [2, 0, 1, 3]
+
+
+def test_sliding_window_matches_reference_walk():
+    # 10 docs, window 4, step 2: windows rewrite bottom-up; with an oracle
+    # permutation (sorted descending by value) two passes fully sort top.
+    arr = [5, 1, 9, 3, 7, 0, 8, 2, 6, 4]
+
+    def perm_str(window):
+        order = sorted(range(len(window)), key=lambda i: -window[i])
+        return " > ".join(f"[{i+1}]" for i in order)
+
+    runner = WaveRunner(lambda reqs: [perm_str(r) for r in reqs])
+
+    async def compare(window):
+        return await runner.compare(window)
+
+    got = runner.run(
+        [listwise_window.sliding_window(list(arr), 4, 2, 1, compare)]
+    )[0]
+
+    # Oracle: sequential walk identical to listwise.py:183-192.
+    ranking = list(arr)
+    end_pos, start_pos = len(ranking), len(ranking) - 4
+    while start_pos >= 0:
+        window = ranking[start_pos:end_pos]
+        permutation.apply_permutation(ranking, perm_str(window), start_pos, end_pos)
+        end_pos -= 2
+        start_pos -= 2
+    assert got == ranking
+    assert got[0] == 9  # best doc surfaced to the top
+
+
+def test_cross_query_batching():
+    """Many queries' sequential pop phases interleave into shared waves."""
+    pick = make_set_pick()
+    log = []
+    runner = WaveRunner(batch_fn_counter(pick, log))
+    rng = random.Random(5)
+    arrs = [rng.sample(range(1000), 30) for _ in range(8)]
+
+    async def one(arr):
+        return await setwise_sort.heapsort(runner, arr, 10, 2, pick_async(runner))
+
+    results = runner.run([one(list(a)) for a in arrs])
+    for arr, res in zip(arrs, results):
+        assert res == oracle_setwise_heapsort(arr, 10, 2, pick)
+    # Batching across queries: average wave size must be well above 1.
+    assert sum(log) / len(log) > 3.0
+
+
+def test_max_batch_size_split():
+    pick = make_set_pick()
+    log = []
+    runner = WaveRunner(batch_fn_counter(pick, log), max_batch_size=4)
+    arr = random.Random(2).sample(range(1000), 40)
+    got = runner.run(
+        [setwise_sort.heapsort(runner, list(arr), 10, 2, pick_async(runner))]
+    )[0]
+    assert got == oracle_setwise_heapsort(arr, 10, 2, pick)
+    assert max(log) <= 4
