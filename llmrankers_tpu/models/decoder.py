@@ -1,0 +1,142 @@
+"""From-scratch JAX decoder-only transformer (Llama / Qwen2 / Qwen3).
+
+TPU-native replacement for the HF ``AutoModelForCausalLM`` paths the
+reference uses for setwise/pairwise/listwise Llama scoring
+(setwise.py:159-177, pairwise.py:105-129, listwise.py:261-271) and for the
+vLLM engine behind Rank-R1 (setwise.py:450-454). RoPE + RMSNorm + GQA +
+SwiGLU; optional qkv bias (Qwen2) and q/k head-norm (Qwen3). Layer loop is
+``lax.scan`` over stacked per-layer leaves.
+
+Left-padding aware: positions derive from the attention mask, matching the
+reference's ``padding_side = 'left'`` batch generation (pairwise.py:71).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
+from .config import DecoderConfig
+
+Params = Dict[str, Any]
+
+
+def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
+    b, l, _ = x.shape
+    return x.reshape(b, l, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=1)
+
+
+def positions_from_mask(attn_mask: jax.Array) -> jax.Array:
+    """[B, L] {0,1} -> position ids, 0-based from the first real token."""
+    return jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
+
+
+def forward(
+    params: Params,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,  # [B, L]
+    attn_mask: jax.Array,  # [B, L] {0,1}
+) -> jax.Array:
+    """Causal LM forward -> logits [B, L, V]."""
+    hidden, _ = forward_hidden(params, cfg, input_ids, attn_mask)
+    return lm_logits(params, cfg, hidden)
+
+
+def forward_hidden(
+    params: Params,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,
+    attn_mask: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (final hidden states [B, L, D], positions [B, L])."""
+    B, L = input_ids.shape
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    x = params["embed"][input_ids]
+    pos = positions_from_mask(attn_mask)
+    cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
+
+    causal = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None])[None, None]
+    pad = attn_mask.astype(bool)[:, None, None, :]
+    mask = jnp.logical_and(causal, pad)
+
+    def layer(h, lp):
+        hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q = hn @ lp["wq"]
+        k = hn @ lp["wk"]
+        v = hn @ lp["wv"]
+        if cfg.attention_bias:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = _split_heads(q, H, Dh)
+        k = _split_heads(k, KV, Dh)
+        v = _split_heads(v, KV, Dh)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k = _repeat_kv(k, H // KV)
+        v = _repeat_kv(v, H // KV)
+        a = mha(q, k, v, mask=mask, scale=Dh**-0.5)
+        a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+        h = h + a @ lp["wo"]
+        hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]
+        return h + f, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    return x, pos
+
+
+def lm_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        return hidden @ params["embed"].T
+    return hidden @ params["lm_head"]
+
+
+def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 32))
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    Lyr = cfg.num_hidden_layers
+
+    def nrm(shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] ** -0.5 if len(shape) > 2 else 0.02)
+        return (jax.random.normal(next(keys), shape) * scale).astype(dtype)
+
+    layers: Params = {
+        "ln1": jnp.ones((Lyr, D), dtype),
+        "ln2": jnp.ones((Lyr, D), dtype),
+        "wq": nrm((Lyr, D, H * Dh)),
+        "wk": nrm((Lyr, D, KV * Dh)),
+        "wv": nrm((Lyr, D, KV * Dh)),
+        "wo": nrm((Lyr, H * Dh, D)),
+        "w_gate": nrm((Lyr, D, F)),
+        "w_up": nrm((Lyr, D, F)),
+        "w_down": nrm((Lyr, F, D)),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((Lyr, H * Dh), dtype)
+        layers["bk"] = jnp.zeros((Lyr, KV * Dh), dtype)
+        layers["bv"] = jnp.zeros((Lyr, KV * Dh), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((Lyr, Dh), dtype)
+        layers["k_norm"] = jnp.ones((Lyr, Dh), dtype)
+    params: Params = {
+        "embed": nrm((cfg.vocab_size, D), 0.02),
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = nrm((D, cfg.vocab_size), D**-0.5)
+    return params

@@ -1,0 +1,262 @@
+"""From-scratch JAX T5 encoder-decoder (flan-t5 / t5-v1.1 / t5-v1.0).
+
+TPU-native replacement for the HF ``T5ForConditionalGeneration`` forwards
+the reference calls at setwise.py:93, pointwise.py:73-79,117-124,
+pairwise.py:97,311-313 and listwise.py:257,733. Functional: parameters are
+a pytree with per-layer leaves stacked on a leading axis and the layer
+loop expressed as ``lax.scan`` (one compiled layer body instead of 24
+unrolled ones — faster compiles, identical math).
+
+Architectural fidelity notes (required for logit parity with HF weights):
+  * RMS layer norm without mean subtraction, fp32 stats, eps 1e-6.
+  * NO attention-score scaling (T5 folds 1/sqrt(d) into init).
+  * NO embedding scaling.
+  * Relative position bias: computed from the block-0 bias table, shared
+    by every layer; bidirectional buckets for the encoder, causal for the
+    decoder; cross-attention carries no bias.
+  * Gated FFN (wi_0 * gelu_new, wi_1) for v1.1/flan; plain relu-wi for v1.0.
+  * lm_head untied for v1.1/flan; tied variant scales hidden by d_model^-0.5.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import gelu_new, make_causal_mask, mha, rms_norm
+from .config import T5Config
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Relative position bias
+# ---------------------------------------------------------------------------
+def relative_position_bucket(
+    relative_position: jax.Array,
+    bidirectional: bool,
+    num_buckets: int,
+    max_distance: int,
+) -> jax.Array:
+    """T5 bucketing of key_pos - query_pos (log-scale beyond max_exact)."""
+    ret = jnp.zeros_like(relative_position)
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (relative_position > 0).astype(jnp.int32) * num_buckets
+        rel = jnp.abs(relative_position)
+    else:
+        rel = -jnp.minimum(relative_position, 0)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    rel_if_large = max_exact + (
+        jnp.log(rel.astype(jnp.float32) / max_exact + 1e-9)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    rel_if_large = jnp.minimum(rel_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, rel, rel_if_large)
+
+
+def compute_bias(
+    rel_bias_table: jax.Array,  # [num_buckets, H]
+    q_len: int,
+    k_len: int,
+    bidirectional: bool,
+    cfg: T5Config,
+    q_offset: int | jax.Array = 0,
+) -> jax.Array:
+    """[1, H, q_len, k_len] additive attention bias."""
+    ctx = jnp.arange(q_len)[:, None] + q_offset
+    mem = jnp.arange(k_len)[None, :]
+    buckets = relative_position_bucket(
+        mem - ctx,
+        bidirectional,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )
+    bias = rel_bias_table[buckets]  # [q, k, H]
+    return jnp.transpose(bias, (2, 0, 1))[None]
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, l, _ = x.shape
+    return x.reshape(b, l, n_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def _attn(
+    lp: Params,
+    prefix: str,
+    cfg: T5Config,
+    x: jax.Array,
+    kv_src: jax.Array,
+    mask: Optional[jax.Array],
+    bias: Optional[jax.Array],
+) -> jax.Array:
+    q = _split_heads(x @ lp[prefix + "q"], cfg.num_heads)
+    k = _split_heads(kv_src @ lp[prefix + "k"], cfg.num_heads)
+    v = _split_heads(kv_src @ lp[prefix + "v"], cfg.num_heads)
+    out = mha(q, k, v, mask=mask, bias=bias, scale=1.0)
+    return _merge_heads(out) @ lp[prefix + "o"]
+
+
+def _ffn(lp: Params, cfg: T5Config, x: jax.Array) -> jax.Array:
+    if cfg.is_gated:
+        act = gelu_new if cfg.act_fn == "gelu_new" else jax.nn.relu
+        h = act(x @ lp["wi_0"]) * (x @ lp["wi_1"])
+    else:
+        h = jax.nn.relu(x @ lp["wi"])
+    return h @ lp["wo"]
+
+
+def encode(
+    params: Params, cfg: T5Config, input_ids: jax.Array, attn_mask: jax.Array
+) -> jax.Array:
+    """Encoder forward: [B, L] ids + [B, L] {0,1} mask -> [B, L, D]."""
+    enc = params["encoder"]
+    x = params["shared"][input_ids]
+    L = input_ids.shape[1]
+    bias = compute_bias(enc["rel_bias"], L, L, True, cfg)
+    mask = attn_mask.astype(bool)[:, None, None, :]  # key-side padding
+
+    def layer(h, lp):
+        a = _attn(lp, "", cfg, rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon),
+                  rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon), mask, bias)
+        h = h + a
+        f = _ffn(lp, cfg, rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon))
+        return h + f, None
+
+    x, _ = jax.lax.scan(layer, x, enc["layers"])
+    return rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+
+
+def decode(
+    params: Params,
+    cfg: T5Config,
+    decoder_input_ids: jax.Array,  # [B, T]
+    enc_out: jax.Array,  # [B, L, D]
+    enc_mask: jax.Array,  # [B, L] {0,1}
+) -> jax.Array:
+    """Teacher-forced decoder forward -> logits [B, T, V]."""
+    dec = params["decoder"]
+    x = params["shared"][decoder_input_ids]
+    T = decoder_input_ids.shape[1]
+    self_bias = compute_bias(dec["rel_bias"], T, T, False, cfg)
+    self_mask = make_causal_mask(T)
+    cross_mask = enc_mask.astype(bool)[:, None, None, :]
+
+    def layer(h, lp):
+        a = _attn(
+            lp, "", cfg, rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon),
+            rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon), self_mask, self_bias,
+        )
+        h = h + a
+        hn = rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon)
+        c = _cross_attn(lp, cfg, hn, enc_out, cross_mask)
+        h = h + c
+        f = _ffn(lp, cfg, rms_norm(h, lp["ln3"], cfg.layer_norm_epsilon))
+        return h + f, None
+
+    x, _ = jax.lax.scan(layer, x, dec["layers"])
+    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
+    return lm_logits(params, cfg, x)
+
+
+def _cross_attn(lp, cfg, x, enc_out, mask):
+    q = _split_heads(x @ lp["cq"], cfg.num_heads)
+    k = _split_heads(enc_out @ lp["ck"], cfg.num_heads)
+    v = _split_heads(enc_out @ lp["cv"], cfg.num_heads)
+    out = mha(q, k, v, mask=mask, bias=None, scale=1.0)
+    return _merge_heads(out) @ lp["co"]
+
+
+def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        hidden = hidden * (cfg.d_model**-0.5)
+        return hidden @ params["shared"].T
+    return hidden @ params["lm_head"]
+
+
+def forward(
+    params: Params,
+    cfg: T5Config,
+    input_ids: jax.Array,
+    attn_mask: jax.Array,
+    decoder_input_ids: jax.Array,
+) -> jax.Array:
+    """Full encoder-decoder forward -> logits [B, T, V]."""
+    enc_out = encode(params, cfg, input_ids, attn_mask)
+    return decode(params, cfg, decoder_input_ids, enc_out, attn_mask)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+def init_params(cfg: T5Config, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random init with T5's fan-in scaling (usable for tests/bench)."""
+    keys = iter(jax.random.split(key, 64))
+
+    def nrm(shape, scale):
+        return (jax.random.normal(next(keys), shape) * scale).astype(dtype)
+
+    D, I, F, H = cfg.d_model, cfg.num_heads * cfg.d_kv, cfg.d_ff, cfg.num_heads
+
+    def attn_block(n_layers, prefix=""):
+        return {
+            prefix + "q": nrm((n_layers, D, I), (D * cfg.d_kv) ** -0.5),
+            prefix + "k": nrm((n_layers, D, I), D**-0.5),
+            prefix + "v": nrm((n_layers, D, I), D**-0.5),
+            prefix + "o": nrm((n_layers, I, D), I**-0.5),
+        }
+
+    def ffn_block(n_layers):
+        if cfg.is_gated:
+            return {
+                "wi_0": nrm((n_layers, D, F), D**-0.5),
+                "wi_1": nrm((n_layers, D, F), D**-0.5),
+                "wo": nrm((n_layers, F, D), F**-0.5),
+            }
+        return {
+            "wi": nrm((n_layers, D, F), D**-0.5),
+            "wo": nrm((n_layers, F, D), F**-0.5),
+        }
+
+    Le, Ld = cfg.num_layers, cfg.num_decoder_layers
+    enc_layers = {
+        "ln1": jnp.ones((Le, D), dtype),
+        "ln2": jnp.ones((Le, D), dtype),
+        **attn_block(Le),
+        **ffn_block(Le),
+    }
+    dec_layers = {
+        "ln1": jnp.ones((Ld, D), dtype),
+        "ln2": jnp.ones((Ld, D), dtype),
+        "ln3": jnp.ones((Ld, D), dtype),
+        **attn_block(Ld),
+        **{("c" + k): v for k, v in attn_block(Ld).items()},
+        **ffn_block(Ld),
+    }
+    params: Params = {
+        "shared": nrm((cfg.vocab_size, D), 1.0),
+        "encoder": {
+            "rel_bias": nrm((cfg.relative_attention_num_buckets, H), D**-0.5),
+            "layers": enc_layers,
+            "final_ln": jnp.ones((D,), dtype),
+        },
+        "decoder": {
+            "rel_bias": nrm((cfg.relative_attention_num_buckets, H), D**-0.5),
+            "layers": dec_layers,
+            "final_ln": jnp.ones((D,), dtype),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = nrm((D, cfg.vocab_size), D**-0.5)
+    return params

@@ -1,0 +1,108 @@
+"""Attention ops: reference XLA path + Pallas TPU flash kernel dispatch.
+
+The XLA path is the semantic definition (and the CPU/test path); the
+Pallas kernel in :mod:`.flash` is a drop-in for TPU when shapes allow.
+Supports the additive-bias form required by T5 relative position bias
+(the main divergence from stock causal-flash kernels — SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative mask value, safe in bf16
+
+
+def mha(
+    q: jax.Array,  # [B, H, Lq, Dh]
+    k: jax.Array,  # [B, H, Lk, Dh]
+    v: jax.Array,  # [B, H, Lk, Dh]
+    mask: Optional[jax.Array] = None,  # [B, 1|H, Lq, Lk] bool, True = attend
+    bias: Optional[jax.Array] = None,  # [1|B, H, Lq, Lk] additive (T5 rel bias)
+    scale: Optional[float] = None,  # None -> 1/sqrt(Dh); T5 passes 1.0
+    use_flash: bool = False,
+) -> jax.Array:
+    """Multi-head attention. Returns [B, H, Lq, Dh].
+
+    Softmax accumulates in fp32 regardless of input dtype (matches the
+    fp32-softmax behavior of HF's CUDA path closely enough for label-token
+    ranking parity; see SURVEY.md §7 'hard parts' #5).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_flash:
+        from .flash import flash_mha  # lazy: pallas import only on TPU path
+
+        return flash_mha(q, k, v, mask=mask, bias=bias, scale=scale)
+
+    dtype = q.dtype
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * jnp.asarray(scale, dtype=scores.dtype)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(dtype)
+
+
+def make_causal_mask(length: int) -> jax.Array:
+    """[1, 1, L, L] lower-triangular bool mask."""
+    i = jnp.arange(length)[:, None]
+    j = jnp.arange(length)[None, :]
+    return (j <= i)[None, None, :, :]
+
+
+def make_padding_mask(attn_mask: jax.Array) -> jax.Array:
+    """[B, Lk] {0,1} -> [B, 1, 1, Lk] bool key-side mask."""
+    return attn_mask.astype(bool)[:, None, None, :]
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """T5/Llama-style RMSNorm (no mean subtraction, no bias), fp32 stats."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu_new(x: jax.Array) -> jax.Array:
+    """HF 'gelu_new' (tanh approximation), used by flan-t5 gated FFN."""
+    return (
+        0.5
+        * x
+        * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * jnp.power(x, 3.0))))
+    )
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float, dtype=jnp.float32
+):
+    """cos/sin tables for RoPE at the given positions: [..., head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., Dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, H, L, Dh]; cos/sin: [B, L, Dh] (broadcast over heads)."""
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    return x * cos + rotate_half(x) * sin

@@ -1,10 +1,11 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
-pjit/sharding paths are exercised without TPU hardware."""
-import os
+pjit/sharding paths run without TPU hardware.
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+The environment's sitecustomize imports jax and registers the tunneled
+TPU backend in every interpreter, so JAX_PLATFORMS set from user code is
+ignored — the jax.config API is the only reliable override.
+"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
