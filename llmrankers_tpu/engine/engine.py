@@ -1,0 +1,325 @@
+"""Batched scoring engine: the device-facing half of the framework.
+
+Everything the reference does with per-call ``tokenizer(...).to(device)``
++ ``llm.generate`` round trips (setwise.py:87-95, pointwise.py:73-124,
+pairwise.py:91-99) becomes four fixed-shape jitted programs:
+
+  * ``score_labels``  — one forward, gather label-token logits at the
+    first free decoder position (setwise/listwise likelihood, yes_no,
+    monoT5/duoT5 heads).
+  * ``sequence_nll``  — teacher-forced decoder NLL (pointwise qlm).
+  * ``generate``      — greedy decode with KV cache (generation scoring,
+    RankGPT permutations, Rank-R1 reasoning).
+  * decoder-only variants of the above.
+
+Host-side tokenization pads into (batch, length) buckets so each bucket
+compiles once; the jit cache is keyed on bucket shape. Batches ride a
+``('data', 'model')`` mesh when one is provided — batch sharded over
+'data', parameters tensor-parallel over 'model' (SURVEY.md §2.5).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models import decoder as dec_mod
+from ..models import t5 as t5_mod
+from ..models.config import DecoderConfig, T5Config
+from ..parallel import mesh as mesh_mod
+from . import generate as gen_mod
+from .tokenizer import Tokenizer
+
+DEFAULT_LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+DEFAULT_BATCH_BUCKETS = (8, 32, 128, 512)
+
+
+def _bucket(n: int, ladder: Sequence[int]) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+@dataclass
+class BatchStats:
+    """Token accounting for one engine call (unpadded true counts)."""
+
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+
+
+class ScoringEngine:
+    """One model + tokenizer + mesh; stateless jitted compute underneath."""
+
+    def __init__(
+        self,
+        kind: str,  # 't5' | 'decoder'
+        cfg,
+        params,
+        tokenizer: Tokenizer,
+        mesh=None,
+        len_buckets: Sequence[int] = DEFAULT_LEN_BUCKETS,
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        max_batch_tokens: int = 2**17,
+    ):
+        self.kind = kind
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh if mesh is not None else mesh_mod.single_device_mesh()
+        self.len_buckets = tuple(len_buckets)
+        self.batch_buckets = tuple(batch_buckets)
+        self.max_batch_tokens = max_batch_tokens
+        self._jit_cache: Dict[Any, Any] = {}
+
+        if kind == "t5":
+            pspecs = mesh_mod.t5_param_pspecs(params)
+        else:
+            pspecs = mesh_mod.decoder_param_pspecs(params)
+        self.params = mesh_mod.shard_params(params, pspecs, self.mesh)
+        self._data_sharding = NamedSharding(self.mesh, P("data"))
+        self._repl = NamedSharding(self.mesh, P())
+
+    # ------------------------------------------------------------------
+    # Host-side padding/bucketing
+    # ------------------------------------------------------------------
+    def _pad_batch(
+        self, rows: List[List[int]]
+    ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+        """Right-pad token rows into a (batch, length) bucket."""
+        n = len(rows)
+        max_len = max((len(r) for r in rows), default=1)
+        L = _bucket(max_len, self.len_buckets)
+        B = _bucket(n, self.batch_buckets)
+        ids = np.full((B, L), self.tokenizer.pad_id, dtype=np.int32)
+        mask = np.zeros((B, L), dtype=np.int32)
+        for i, r in enumerate(rows):
+            r = r[:L]
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return ids, mask, n, B
+
+    def _pad_batch_left(
+        self, rows: List[List[int]]
+    ) -> Tuple[np.ndarray, np.ndarray, int, int]:
+        """Left-pad (decoder-only batch generation, pairwise.py:71)."""
+        n = len(rows)
+        max_len = max((len(r) for r in rows), default=1)
+        L = _bucket(max_len, self.len_buckets)
+        B = _bucket(n, self.batch_buckets)
+        ids = np.full((B, L), self.tokenizer.pad_id, dtype=np.int32)
+        mask = np.zeros((B, L), dtype=np.int32)
+        for i, r in enumerate(rows):
+            r = r[:L]
+            ids[i, L - len(r):] = r
+            mask[i, L - len(r):] = 1
+        return ids, mask, n, B
+
+    def _chunks(self, rows: List[List[int]]):
+        """Split an oversized wave so B*L stays under max_batch_tokens."""
+        if not rows:
+            return
+        max_len = max(len(r) for r in rows)
+        L = _bucket(max_len, self.len_buckets)
+        per = max(1, self.max_batch_tokens // L)
+        per = max(b for b in self.batch_buckets if b <= per) if per >= self.batch_buckets[0] else self.batch_buckets[0]
+        for i in range(0, len(rows), per):
+            yield i, rows[i : i + per]
+
+    def _put(self, ids: np.ndarray, mask: np.ndarray):
+        ids = jax.device_put(jnp.asarray(ids), self._data_sharding)
+        mask = jax.device_put(jnp.asarray(mask), self._data_sharding)
+        return ids, mask
+
+    # ------------------------------------------------------------------
+    # score_labels: one forward, label-token logits
+    # ------------------------------------------------------------------
+    def score_labels(
+        self,
+        prompt_rows: List[List[int]],
+        label_ids: Sequence[int],
+        decoder_prefix: Sequence[int] = (),
+        stats: Optional[BatchStats] = None,
+    ) -> np.ndarray:
+        """[N, K] fp32 logits of each label token at the first free
+        decoder position (T5: after the forced prefix, setwise.py:179-188;
+        decoder-only: after the prompt's last real token)."""
+        out = np.zeros((len(prompt_rows), len(label_ids)), np.float32)
+        labels = tuple(int(x) for x in label_ids)
+        prefix = tuple(int(x) for x in decoder_prefix)
+        for off, chunk in self._chunks(prompt_rows):
+            if stats is not None:
+                stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
+            if self.kind == "t5":
+                ids, mask, n, B = self._pad_batch(chunk)
+                fn = self._get_jit("t5_labels", ids.shape, labels, prefix)
+                res = fn(self.params, *self._put(ids, mask))
+            else:
+                ids, mask, n, B = self._pad_batch_left(chunk)
+                fn = self._get_jit("dec_labels", ids.shape, labels, prefix)
+                res = fn(self.params, *self._put(ids, mask))
+            out[off : off + n] = np.asarray(res)[:n]
+        return out
+
+    # ------------------------------------------------------------------
+    # sequence_nll: teacher-forced decoder CE (qlm)
+    # ------------------------------------------------------------------
+    def sequence_nll(
+        self,
+        prompt_rows: List[List[int]],
+        target_rows: List[List[int]],
+        stats: Optional[BatchStats] = None,
+    ) -> np.ndarray:
+        """[N] fp32 = sum over target positions of CE(logits, target).
+
+        Matches the reference qlm scoring (pointwise.py:73-79): targets
+        include the leading pad token; decoder inputs are the right-shifted
+        targets; no position is ignored.
+        """
+        assert self.kind == "t5", "qlm scoring is a T5 path (pointwise.py:19-26)"
+        out = np.zeros((len(prompt_rows),), np.float32)
+        idx = list(range(len(prompt_rows)))
+        for off, chunk in self._chunks(prompt_rows):
+            tchunk = target_rows[off : off + len(chunk)]
+            ids, mask, n, B = self._pad_batch(chunk)
+            t_max = max(len(t) for t in tchunk)
+            T = _bucket(t_max, self.len_buckets)
+            tgt = np.zeros((B, T), np.int32)
+            tw = np.zeros((B, T), np.float32)
+            for i, t in enumerate(tchunk):
+                t = t[:T]
+                tgt[i, : len(t)] = t
+                tw[i, : len(t)] = 1.0
+            if stats is not None:
+                stats.prompt_tokens += sum(len(r) for r in chunk) + sum(
+                    len(t) for t in tchunk
+                )
+            fn = self._get_jit("t5_nll", (ids.shape, tgt.shape))
+            ids_d, mask_d = self._put(ids, mask)
+            res = fn(self.params, ids_d, mask_d, jnp.asarray(tgt), jnp.asarray(tw))
+            out[off : off + n] = np.asarray(res)[:n]
+        return out
+
+    # ------------------------------------------------------------------
+    # generate: greedy decode
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt_rows: List[List[int]],
+        max_new_tokens: int,
+        decoder_prefix: Sequence[int] = (),
+        stop_strings: Sequence[str] = (),
+        chunk_tokens: Optional[int] = None,
+        stats: Optional[BatchStats] = None,
+    ) -> Tuple[List[str], List[int]]:
+        """Greedy generation; returns (decoded completions, per-row new
+        token counts up to and including EOS).
+
+        ``stop_strings`` truncate the decoded host-side text (the device
+        loop stops rows on EOS only); ``chunk_tokens`` bounds wasted decode
+        compute for long Rank-R1 completions by checking stops between
+        fixed-size chunks (not yet chunked in v1 — full-length scan).
+        """
+        results: List[str] = [""] * len(prompt_rows)
+        ntokens: List[int] = [0] * len(prompt_rows)
+        prefix = tuple(int(x) for x in decoder_prefix)
+        for off, chunk in self._chunks(prompt_rows):
+            if stats is not None:
+                stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
+            if self.kind == "t5":
+                ids, mask, n, B = self._pad_batch(chunk)
+                fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
+                toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
+            else:
+                ids, mask, n, B = self._pad_batch_left(chunk)
+                fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
+                toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
+            for i, row in enumerate(toks):
+                row_l = row.tolist()
+                # Count up to and including EOS (reference counts the
+                # emitted ids, setwise.py:97).
+                try:
+                    ntok = row_l.index(self.tokenizer.eos_id) + 1
+                except ValueError:
+                    ntok = len(row_l)
+                ntokens[off + i] = ntok
+                if stats is not None:
+                    stats.completion_tokens += ntok
+                text = self.tokenizer.decode(row_l, skip_special_tokens=True)
+                for s in stop_strings:
+                    cut = text.find(s)
+                    if cut != -1:
+                        text = text[: cut + len(s)]
+                results[off + i] = text
+        return results, ntokens
+
+    # ------------------------------------------------------------------
+    # jit builders
+    # ------------------------------------------------------------------
+    def _get_jit(self, name: str, *key):
+        k = (name,) + tuple(key)
+        if k not in self._jit_cache:
+            self._jit_cache[k] = self._build(name, *key)
+        return self._jit_cache[k]
+
+    def _build(self, name: str, *key):
+        cfg = self.cfg
+        if name == "t5_labels":
+            _, labels, prefix = key
+            label_arr = jnp.asarray(list(labels), jnp.int32)
+
+            def fn(params, ids, mask):
+                B = ids.shape[0]
+                pref = jnp.tile(jnp.asarray(list(prefix), jnp.int32)[None], (B, 1))
+                logits = t5_mod.forward(params, cfg, ids, mask, pref)
+                return logits[:, -1, :].astype(jnp.float32)[:, label_arr]
+
+            return jax.jit(fn)
+        if name == "dec_labels":
+            _, labels, _prefix = key
+            label_arr = jnp.asarray(list(labels), jnp.int32)
+
+            def fn(params, ids, mask):
+                logits = dec_mod.forward(params, cfg, ids, mask)
+                # Left-padded: last position is the last real token.
+                return logits[:, -1, :].astype(jnp.float32)[:, label_arr]
+
+            return jax.jit(fn)
+        if name == "t5_nll":
+
+            def fn(params, ids, mask, tgt, tw):
+                B = ids.shape[0]
+                start = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+                dec_in = jnp.concatenate([start, tgt[:, :-1]], axis=1)
+                logits = t5_mod.forward(params, cfg, ids, mask, dec_in)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+                return jnp.sum(tok_lp * tw, axis=-1)  # negative CE = sum log p
+
+            return jax.jit(fn)
+        if name == "t5_gen":
+            _, prefix, max_new = key
+
+            def fn(params, ids, mask):
+                B = ids.shape[0]
+                pref = jnp.tile(jnp.asarray(list(prefix), jnp.int32)[None], (B, 1))
+                return gen_mod.t5_greedy_generate(params, cfg, ids, mask, pref, max_new)
+
+            return jax.jit(fn)
+        if name == "dec_gen":
+            _, max_new = key
+
+            def fn(params, ids, mask):
+                logits, cache = gen_mod.decoder_prefill(params, cfg, ids, mask, max_new)
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return gen_mod.decoder_greedy_decode(
+                    params, cfg, first, cache, ids.shape[1], max_new, cfg.eos_token_id
+                )
+
+            return jax.jit(fn)
+        raise KeyError(name)

@@ -1,0 +1,74 @@
+"""Shared ranker machinery: engine-backed comparator plumbing."""
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+from ..algos.scheduler import WaveRunner
+from ..engine.engine import ScoringEngine
+from ..types import LlmRanker, RerankStats, SearchResult
+
+
+class EngineRanker(LlmRanker):
+    """Base for rankers driven by a :class:`ScoringEngine`.
+
+    ``rerank_many`` is the native entry point: all queries' sort coroutines
+    run under one WaveRunner so their comparisons share device batches.
+    ``rerank`` (the reference's per-query API, rankers.py:12-14) is the
+    single-query special case.
+    """
+
+    def __init__(self, engine: ScoringEngine, max_wave_size: Optional[int] = None):
+        super().__init__()
+        self.engine = engine
+        self.max_wave_size = max_wave_size
+        self._query_stats: List[RerankStats] = []
+
+    # Subclasses implement: one query's ranking coroutine + a batch executor.
+    async def _rerank_one(self, runner: WaveRunner, qidx: int, query: str,
+                          ranking: List[SearchResult]) -> List[SearchResult]:
+        raise NotImplementedError
+
+    def _compare_batch(self, requests: List[Any]) -> List[Any]:
+        raise NotImplementedError
+
+    def rerank_many(
+        self, queries: Sequence[str], rankings: Sequence[List[SearchResult]]
+    ) -> List[List[SearchResult]]:
+        self._query_stats = [RerankStats() for _ in queries]
+        runner = WaveRunner(self._compare_batch, self.max_wave_size)
+        results = runner.run(
+            [
+                self._rerank_one(runner, i, q, copy.deepcopy(list(r)))
+                for i, (q, r) in enumerate(zip(queries, rankings))
+            ]
+        )
+        total = RerankStats()
+        for s in self._query_stats:
+            total.add(s)
+        self.stats = total
+        return results
+
+    def rerank(self, query: str, ranking: List[SearchResult]) -> List[SearchResult]:
+        return self.rerank_many([query], [ranking])[0]
+
+    @property
+    def per_query_stats(self) -> List[RerankStats]:
+        return self._query_stats
+
+    def truncate(self, text: str, length: int) -> str:
+        return self.engine.tokenizer.truncate(text, length)
+
+    # -- tokenizer helpers -------------------------------------------------
+    def _encode_prompt(self, text: str) -> List[int]:
+        return self.engine.tokenizer.encode(text, add_special_tokens=True)
+
+    def _label_token_ids(self, labels: Sequence[str], prefix: str) -> List[int]:
+        """Last-token id of f'{prefix} {label}' for each label, mirroring
+        the reference's target_token_ids construction (setwise.py:55-59)."""
+        tk = self.engine.tokenizer
+        out = []
+        for c in labels:
+            ids = tk.encode(f"{prefix} {c}", add_special_tokens=False)
+            out.append(ids[-1])
+        return out

@@ -1,0 +1,159 @@
+"""Pairwise rerankers (PRP): allpair / heapsort / bubblesort + duoT5.
+
+Behavioral parity with reference pairwise.py:
+  * every logical comparison evaluates BOTH prompt orderings; a doc only
+    "wins" when the model is consistent across them (pairwise.py:87-88,
+    228-233);
+  * allpair streams all 2*C(n,2) prompts and splits conflicts 0.5/0.5;
+  * duoT5 compares P(true|q,d0,d1) vs P(true|q,d1,d0) via the
+    true/false-token head (pairwise.py:297-318).
+
+TPU-native: the two orderings of one comparison are adjacent rows of the
+same device batch; sorts run as wave-batched coroutines.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+from ..algos import pairwise_sort
+from ..engine.engine import ScoringEngine
+from ..types import SearchResult, toppassage_results
+from . import prompts
+from .base import EngineRanker
+
+
+@dataclass
+class _PairRequest:
+    qidx: int
+    query: str
+    doc1: str
+    doc2: str
+
+
+class PairwiseLlmRanker(EngineRanker):
+    def __init__(
+        self,
+        engine: ScoringEngine,
+        method: str = "allpair",
+        k: int = 10,
+        max_wave_size: Optional[int] = None,
+    ):
+        super().__init__(engine, max_wave_size)
+        self.method = method
+        self.k = k
+        tk = engine.tokenizer
+        if engine.kind == "t5":
+            self.decoder_prefix = tk.encode("<pad> Passage", add_special_tokens=False)
+        else:
+            self.decoder_prefix = []
+
+    async def _rerank_one(self, runner, qidx, query, ranking):
+        original = list(ranking)
+
+        async def both(a: SearchResult, b: SearchResult) -> Tuple[str, str]:
+            return await runner.compare(_PairRequest(qidx, query, a.text, b.text))
+
+        async def gt(a: SearchResult, b: SearchResult) -> bool:
+            o1, o2 = await both(a, b)
+            return o1 == "Passage A" and o2 == "Passage B"
+
+        if self.method == "allpair":
+            # Labels for win-counting: 'A' / 'B' / raw (conflict otherwise).
+            async def labels(a, b):
+                o1, o2 = await both(a, b)
+                return (_ab(o1), _ab(o2))
+
+            scored = await pairwise_sort.allpair(
+                runner, list(ranking), keyfn=lambda d: d.docid, compare_both=labels
+            )
+            ordered = [SearchResult(docid=d, score=s, text=None) for d, s in scored]
+        elif self.method == "heapsort":
+            ordered = await pairwise_sort.heapsort(runner, list(ranking), self.k, gt)
+        elif self.method == "bubblesort":
+            ordered = await pairwise_sort.bubblesort(runner, list(ranking), self.k, gt)
+        else:
+            raise NotImplementedError(f"Method {self.method} is not implemented.")
+        return toppassage_results(ordered, original, self.k)
+
+    def _compare_batch(self, requests: List[_PairRequest]) -> List[Tuple[str, str]]:
+        tk = self.engine.tokenizer
+        rows: List[List[int]] = []
+        for r in requests:
+            self._query_stats[r.qidx].comparisons += 1
+            for d1, d2 in ((r.doc1, r.doc2), (r.doc2, r.doc1)):
+                text = prompts.pairwise_prompt(r.query, d1, d2)
+                if self.engine.kind == "decoder":
+                    text = tk.apply_chat_template(
+                        [{"role": "user", "content": text}]
+                    ) + " Passage:"
+                ids = self._encode_prompt(text)
+                self._query_stats[r.qidx].prompt_tokens += len(ids)
+                rows.append(ids)
+        max_new = 2 if self.engine.kind == "t5" else 1
+        texts, ntoks = self.engine.generate(rows, max_new, self.decoder_prefix)
+        out: List[Tuple[str, str]] = []
+        for i, r in enumerate(requests):
+            self._query_stats[r.qidx].completion_tokens += ntoks[2 * i] + ntoks[2 * i + 1]
+            if self.engine.kind == "t5":
+                # Decoded prefix+completion reads "Passage X" in the
+                # reference (pairwise.py:103); our completion is just " X".
+                o1 = "Passage " + texts[2 * i].strip()
+                o2 = "Passage " + texts[2 * i + 1].strip()
+            else:
+                o1 = f"Passage {texts[2 * i].strip().upper()}"
+                o2 = f"Passage {texts[2 * i + 1].strip().upper()}"
+            out.append((o1, o2))
+        return out
+
+
+def _ab(output: str) -> str:
+    if output == "Passage A":
+        return "A"
+    if output == "Passage B":
+        return "B"
+    return output
+
+
+class DuoT5LlmRanker(PairwiseLlmRanker):
+    """Supervised duoT5 pairwise ranking (pairwise.py:296-352): true/false
+    token probabilities at decoder position 0, heapsort only."""
+
+    def __init__(self, engine, method="heapsort", k=10, max_wave_size=None):
+        super().__init__(engine, method=method, k=k, max_wave_size=max_wave_size)
+        if method != "heapsort":
+            raise NotImplementedError(f"Method {method} is not implemented.")
+        tk = engine.tokenizer
+        # Token ids of "false"/"true" — 6136/1176 under the real T5 vocab
+        # (pairwise.py:314-315), derived from the tokenizer so test vocabs
+        # work too.
+        self.false_id = tk.encode("false", add_special_tokens=False)[0]
+        self.true_id = tk.encode("true", add_special_tokens=False)[0]
+        self.start_prefix = [engine.cfg.decoder_start_token_id]
+
+    async def _rerank_one(self, runner, qidx, query, ranking):
+        original = list(ranking)
+
+        async def gt(a: SearchResult, b: SearchResult) -> bool:
+            return await runner.compare(_PairRequest(qidx, query, a.text, b.text))
+
+        ordered = await pairwise_sort.heapsort(runner, list(ranking), self.k, gt)
+        return toppassage_results(ordered, original, self.k)
+
+    def _compare_batch(self, requests: List[_PairRequest]) -> List[bool]:
+        rows: List[List[int]] = []
+        for r in requests:
+            self._query_stats[r.qidx].comparisons += 1
+            for d1, d2 in ((r.doc1, r.doc2), (r.doc2, r.doc1)):
+                ids = self._encode_prompt(prompts.duot5_prompt(r.query, d1, d2))
+                self._query_stats[r.qidx].prompt_tokens += len(ids)
+                rows.append(ids)
+        logits = self.engine.score_labels(
+            rows, [self.false_id, self.true_id], self.start_prefix
+        )
+        # softmax over {false,true} -> P(true); compare the two orderings.
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        p_true = e[:, 1] / e.sum(axis=1)
+        return [bool(p_true[2 * i] > p_true[2 * i + 1]) for i in range(len(requests))]

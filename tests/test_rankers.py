@@ -1,0 +1,284 @@
+"""End-to-end ranker tests.
+
+Two layers:
+  1. Oracle tests — a fake engine that scores docs by a relevance value
+     embedded in their text validates the full prompt-build -> schedule ->
+     parse -> result-assembly pipeline (generalizes the reference's
+     synthetic "give me passage 34" smoke test, README.md:38-53).
+  2. Integration tests — tiny random-weight JAX models + byte tokenizer
+     exercise the real engine (jit, bucketing, generation) for shape and
+     plumbing correctness.
+"""
+import re
+from typing import List
+
+import numpy as np
+import pytest
+
+from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+from llmrankers_tpu.rankers import (
+    DuoT5LlmRanker,
+    ListwiseLlmRanker,
+    MonoT5LlmRanker,
+    PairwiseLlmRanker,
+    PointwiseLlmRanker,
+    SetwiseLlmRanker,
+)
+from llmrankers_tpu.types import SearchResult
+
+
+# ---------------------------------------------------------------------------
+# Oracle fake engine
+# ---------------------------------------------------------------------------
+class FakeCfg:
+    pad_token_id = 0
+    eos_token_id = 1
+    decoder_start_token_id = 0
+
+
+class OracleEngine:
+    """Scores passages by the number in 'relevance NNN' inside their text.
+
+    Implements the ScoringEngine surface the rankers use. Labels follow
+    prompt order, so label j's logit = relevance of the j-th doc in the
+    prompt — exactly what a perfect model would produce.
+    """
+
+    kind = "t5"
+
+    def __init__(self):
+        self.tokenizer = ByteTokenizer()
+        self.cfg = FakeCfg()
+        self.calls = 0
+
+    def _doc_scores(self, row) -> List[float]:
+        text = self.tokenizer.decode(row)
+        return [float(m) for m in re.findall(r"relevance (\d+)", text)]
+
+    def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None):
+        self.calls += 1
+        out = np.full((len(rows), len(label_ids)), -1e9, np.float32)
+        for i, row in enumerate(rows):
+            scores = self._doc_scores(row)
+            # yes_no / monoT5 prompts have one doc: emit (hi, lo) order.
+            if len(label_ids) == 2 and len(scores) == 1:
+                out[i] = [scores[0] / 100.0, -scores[0] / 100.0]
+            else:
+                out[i, : len(scores)] = scores
+        return out
+
+    def sequence_nll(self, rows, targets, stats=None):
+        self.calls += 1
+        return np.asarray([self._doc_scores(r)[0] for r in rows], np.float32)
+
+    def generate(self, rows, max_new_tokens, decoder_prefix=(), stop_strings=(),
+                 chunk_tokens=None, stats=None):
+        self.calls += 1
+        texts, ntoks = [], []
+        chars = "ABCDEFGHIJKLMNOPQRSTUVW"
+        for row in rows:
+            text = self.tokenizer.decode(row)
+            scores = self._doc_scores(text and row)
+            if "which of the following two passages" in text:
+                texts.append(" A" if scores[0] >= scores[1] else " B")
+            elif "which of the following passages is the most relevant" in text:
+                # Winner label must match the label ASSIGNED in the prompt.
+                labels = re.findall(r"Passage ([A-W]): \"", text)
+                best = int(np.argmax(scores))
+                texts.append(" " + labels[best])
+            elif "RankGPT" in text:
+                order = sorted(range(len(scores)), key=lambda j: -scores[j])
+                texts.append(" > ".join(f"[{j+1}]" for j in order))
+            else:
+                texts.append(" A")
+            ntoks.append(2)
+        return texts, ntoks
+
+
+def make_ranking(values, qid_prefix="d"):
+    return [
+        SearchResult(docid=f"{qid_prefix}{i}", score=0.0, text=f"passage with relevance {v}")
+        for i, v in enumerate(values)
+    ]
+
+
+def ideal_order(values):
+    return [f"d{i}" for i in sorted(range(len(values)), key=lambda i: -values[i])]
+
+
+VALUES = [17, 3, 94, 55, 21, 8, 76, 42, 63, 30, 11, 88, 5, 49, 70, 26, 99, 37, 60, 14]
+
+
+@pytest.mark.parametrize("scoring", ["likelihood", "generation"])
+@pytest.mark.parametrize("method", ["heapsort", "bubblesort"])
+def test_setwise_oracle_topk(scoring, method):
+    eng = OracleEngine()
+    r = SetwiseLlmRanker(eng, num_child=3, k=5, scoring=scoring, method=method)
+    out = r.rerank("q", make_ranking(VALUES))
+    got = [d.docid for d in out[:5]]
+    assert got == ideal_order(VALUES)[:5]
+    assert [d.score for d in out] == [-i - 1 for i in range(len(out))]
+    assert len(out) == len(VALUES)
+    assert r.total_compare > 0 and r.total_prompt_tokens > 0
+
+
+def test_setwise_permutation_vote():
+    eng = OracleEngine()
+    r = SetwiseLlmRanker(eng, num_child=2, k=3, scoring="generation",
+                         method="heapsort", num_permutation=3)
+    out = r.rerank("q", make_ranking(VALUES[:10]))
+    assert [d.docid for d in out[:3]] == ideal_order(VALUES[:10])[:3]
+    # num_permutation multiplies the compare meter (setwise.py:80).
+    assert r.total_compare % 3 == 0
+
+
+@pytest.mark.parametrize("method", ["heapsort", "bubblesort", "allpair"])
+def test_pairwise_oracle_topk(method):
+    eng = OracleEngine()
+    r = PairwiseLlmRanker(eng, method=method, k=5)
+    out = r.rerank("q", make_ranking(VALUES[:12]))
+    assert [d.docid for d in out[:5]] == ideal_order(VALUES[:12])[:5]
+
+
+def test_duot5_oracle():
+    class DuoOracle(OracleEngine):
+        def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None):
+            self.calls += 1
+            out = np.zeros((len(rows), 2), np.float32)
+            for i, row in enumerate(rows):
+                s = self._doc_scores(row)
+                # P(true) higher when doc0 more relevant.
+                out[i] = [0.0, s[0] - s[1]]
+            return out
+
+    r = DuoT5LlmRanker(DuoOracle(), k=5)
+    out = r.rerank("q", make_ranking(VALUES[:12]))
+    assert [d.docid for d in out[:5]] == ideal_order(VALUES[:12])[:5]
+
+
+@pytest.mark.parametrize("method", ["qlm", "yes_no"])
+def test_pointwise_oracle(method):
+    eng = OracleEngine()
+    r = PointwiseLlmRanker(eng, method=method)
+    out = r.rerank("q", make_ranking(VALUES))
+    assert [d.docid for d in out] == ideal_order(VALUES)
+    assert out[0].score >= out[-1].score
+
+
+def test_monot5_oracle():
+    class MonoOracle(OracleEngine):
+        def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None):
+            out = np.zeros((len(rows), 2), np.float32)
+            for i, row in enumerate(rows):
+                out[i] = [0.0, self._doc_scores(row)[0] / 100.0]
+            return out
+
+    r = MonoT5LlmRanker(MonoOracle())
+    out = r.rerank("q", make_ranking(VALUES))
+    assert [d.docid for d in out] == ideal_order(VALUES)
+
+
+@pytest.mark.parametrize("scoring", ["likelihood", "generation"])
+def test_listwise_oracle(scoring):
+    eng = OracleEngine()
+    r = ListwiseLlmRanker(eng, window_size=4, step_size=2, num_repeat=2,
+                          scoring=scoring)
+    out = r.rerank("q", make_ranking(VALUES[:10]))
+    # Sliding window with enough passes surfaces the best to the top.
+    assert out[0].docid == ideal_order(VALUES[:10])[0]
+    assert [d.score for d in out] == [-i for i in range(10)]
+
+
+def test_rerank_many_cross_query_batching():
+    eng = OracleEngine()
+    r = SetwiseLlmRanker(eng, num_child=2, k=5, scoring="likelihood")
+    queries = [f"q{i}" for i in range(6)]
+    rankings = [make_ranking(np.random.RandomState(i).permutation(VALUES).tolist())
+                for i in range(6)]
+    outs = r.rerank_many(queries, rankings)
+    for vs, out in zip(rankings, outs):
+        vals = [int(d.text.split()[-1]) for d in vs]
+        assert [d.docid for d in out[:5]] == [
+            f"d{i}" for i in np.argsort(vals)[::-1][:5]
+        ]
+    # Batching means far fewer engine calls than total comparisons.
+    assert eng.calls < r.total_compare
+    assert len(r.per_query_stats) == 6
+
+
+# ---------------------------------------------------------------------------
+# Real-engine integration (tiny random models)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def t5_engine():
+    import jax
+    from llmrankers_tpu.engine.engine import ScoringEngine
+    from llmrankers_tpu.models.config import T5Config
+    from llmrankers_tpu.models import t5 as t5_mod
+
+    cfg = T5Config.tiny()
+    params = t5_mod.init_params(cfg, jax.random.PRNGKey(0))
+    return ScoringEngine("t5", cfg, params, ByteTokenizer(cfg.vocab_size),
+                         len_buckets=(64, 128, 256, 512),
+                         batch_buckets=(4, 16, 64))
+
+
+@pytest.fixture(scope="module")
+def dec_engine():
+    import jax
+    from llmrankers_tpu.engine.engine import ScoringEngine
+    from llmrankers_tpu.models.config import DecoderConfig
+    from llmrankers_tpu.models import decoder as dec_mod
+
+    cfg = DecoderConfig.tiny()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    return ScoringEngine("decoder", cfg, params, ByteTokenizer(cfg.vocab_size),
+                         len_buckets=(64, 128, 256, 512),
+                         batch_buckets=(4, 16, 64))
+
+
+def _tiny_ranking(n=8):
+    return [
+        SearchResult(docid=f"d{i}", score=0.0, text=f"passage number {i}")
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("scoring", ["likelihood", "generation"])
+def test_setwise_real_t5(t5_engine, scoring):
+    r = SetwiseLlmRanker(t5_engine, num_child=2, k=3, scoring=scoring)
+    out = r.rerank("some query", _tiny_ranking())
+    assert sorted(d.docid for d in out) == sorted(f"d{i}" for i in range(8))
+    assert r.total_compare > 0 and r.total_prompt_tokens > 0
+
+
+def test_setwise_real_decoder(dec_engine):
+    r = SetwiseLlmRanker(dec_engine, num_child=2, k=3, scoring="likelihood")
+    out = r.rerank("some query", _tiny_ranking())
+    assert len(out) == 8
+
+
+def test_pointwise_real_t5(t5_engine):
+    for method in ("qlm", "yes_no"):
+        r = PointwiseLlmRanker(t5_engine, method=method)
+        out = r.rerank("some query", _tiny_ranking(5))
+        assert len(out) == 5
+        assert all(isinstance(d.score, float) for d in out)
+        scores = [d.score for d in out]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_listwise_real_t5_generation(t5_engine):
+    r = ListwiseLlmRanker(t5_engine, window_size=3, step_size=2,
+                          scoring="generation", max_new_tokens=8)
+    out = r.rerank("some query", _tiny_ranking(6))
+    assert len(out) == 6
+
+
+def test_decoder_generate_real(dec_engine):
+    texts, ntoks = dec_engine.generate(
+        [dec_engine.tokenizer.encode("hello world", add_special_tokens=False)],
+        max_new_tokens=4,
+    )
+    assert len(texts) == 1 and len(ntoks) == 1
+    assert ntoks[0] <= 4
