@@ -1,0 +1,327 @@
+"""Main CLI: rerank a first-stage TREC run.
+
+Flag-compatible rebuild of the reference driver (run.py:206-259) plus the
+Rank-R1 driver extras (run_setwise.py:335-368): query/corpus files,
+dataset sharding, qid-level resume. Usage:
+
+    python -m llmrankers_tpu.cli.run \
+        run --model_name_or_path /path/to/flan-t5-large \
+            --run_path run.bm25.txt --save_path run.setwise.txt \
+            --hits 100 --query_length 32 --passage_length 128 \
+            --scoring likelihood \
+        setwise --num_child 2 --method heapsort --k 10
+
+Differences from the reference, by design:
+  * --device is accepted but ignored (JAX targets whatever platform is
+    configured; use --tensor_parallel/--data_parallel for the mesh);
+  * all queries are reranked in one wave-batched pass instead of a
+    sequential per-query loop (run.py:184-195) — meters are still
+    reported per query.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+import sys
+import time
+from typing import Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+def build_parsers():
+    parser = argparse.ArgumentParser(prog="llmrankers_tpu")
+    commands = parser.add_subparsers(title="sub-commands")
+
+    run_p = commands.add_parser("run")
+    run_p.add_argument("--run_path", type=str, required=False)
+    run_p.add_argument("--save_path", type=str, required=False)
+    run_p.add_argument("--model_name_or_path", type=str)
+    run_p.add_argument("--tokenizer_name_or_path", type=str, default=None)
+    run_p.add_argument("--ir_dataset_name", type=str, default=None)
+    run_p.add_argument("--pyserini_index", type=str, default=None)
+    run_p.add_argument("--query_file", type=str, default=None,
+                       help=".tsv or .jsonl query file (run_setwise.py:247-261)")
+    run_p.add_argument("--corpus_file", type=str, default=None,
+                       help=".jsonl corpus (id/title/text) used as docstore")
+    run_p.add_argument("--hits", type=int, default=100)
+    run_p.add_argument("--query_length", type=int, default=128)
+    run_p.add_argument("--passage_length", type=int, default=128)
+    run_p.add_argument("--device", type=str, default=None)  # parity no-op
+    run_p.add_argument("--cache_dir", type=str, default=None)
+    run_p.add_argument("--openai_key", type=str, default=None)
+    run_p.add_argument("--api_base_url", type=str, default=None)
+    run_p.add_argument("--scoring", type=str, default="generation",
+                       choices=["generation", "likelihood"])
+    run_p.add_argument("--shuffle_ranking", type=str, default=None,
+                       choices=["inverse", "random"])
+    run_p.add_argument("--dataset_number_of_shards", type=int, default=1)
+    run_p.add_argument("--dataset_shard_index", type=int, default=0)
+    run_p.add_argument("--resume", action="store_true",
+                       help="skip qids already in save_path; append")
+    run_p.add_argument("--tensor_parallel", type=int, default=1)
+    run_p.add_argument("--data_parallel", type=int, default=1)
+    run_p.add_argument("--dtype", type=str, default="bfloat16",
+                       choices=["bfloat16", "float32"])
+    run_p.add_argument("--event_log", type=str, default=None)
+    run_p.add_argument("--seed", type=int, default=929)
+
+    pw = commands.add_parser("pointwise")
+    pw.add_argument("--method", type=str, default="yes_no", choices=["qlm", "yes_no"])
+    pw.add_argument("--batch_size", type=int, default=2)
+
+    pr = commands.add_parser("pairwise")
+    pr.add_argument("--method", type=str, default="allpair",
+                    choices=["allpair", "heapsort", "bubblesort"])
+    pr.add_argument("--batch_size", type=int, default=2)
+    pr.add_argument("--k", type=int, default=10)
+
+    sw = commands.add_parser("setwise")
+    sw.add_argument("--num_child", type=int, default=3)
+    sw.add_argument("--method", type=str, default="heapsort",
+                    choices=["heapsort", "bubblesort"])
+    sw.add_argument("--k", type=int, default=10)
+    sw.add_argument("--num_permutation", type=int, default=1)
+    sw.add_argument("--prompt_file", type=str, default=None,
+                    help="TOML prompt pack -> Rank-R1 reasoning ranker")
+    sw.add_argument("--lora_name_or_path", type=str, default=None)
+    sw.add_argument("--max_completion_tokens", type=int, default=2048)
+
+    lw = commands.add_parser("listwise")
+    lw.add_argument("--window_size", type=int, default=3)
+    lw.add_argument("--step_size", type=int, default=1)
+    lw.add_argument("--num_repeat", type=int, default=1)
+    lw.add_argument("--prompt_file", type=str, default=None)
+
+    return parser, commands
+
+
+def parse_args(argv: Optional[List[str]] = None):
+    """Two-level parse: split argv at sub-command names (the reference's
+    custom splitter behavior, run.py:20-38)."""
+    parser, commands = build_parsers()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    sections: List[List[str]] = [[]]
+    for tok in argv:
+        if tok in commands.choices:
+            sections.append([tok])
+        else:
+            sections[-1].append(tok)
+    args = argparse.Namespace()
+    for name in commands.choices:
+        setattr(args, name, None)
+    parser.parse_args(sections[0], namespace=args)
+    for sec in sections[1:]:
+        ns = argparse.Namespace()
+        parser.parse_args(sec, namespace=ns)
+        setattr(args, sec[0], ns)
+    return args
+
+
+# ---------------------------------------------------------------------------
+def make_engine(run_args):
+    """Build a ScoringEngine from a local HF checkpoint directory.
+
+    ``--model_name_or_path random:{t5-tiny|t5-large|t5-xl|dec-tiny}``
+    builds a random-init model with the byte tokenizer — the offline
+    smoke-test path (no weights ship with this environment).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.engine import ScoringEngine
+    from ..engine.tokenizer import ByteTokenizer, HFTokenizer
+    from ..models.loader import load_pretrained
+    from ..parallel import mesh as mesh_mod
+
+    dtype = jnp.bfloat16 if run_args.dtype == "bfloat16" else jnp.float32
+    name = run_args.model_name_or_path or ""
+    if name.startswith("random:"):
+        from ..models import decoder as dec_mod
+        from ..models import t5 as t5_mod
+        from ..models.config import DecoderConfig, T5Config
+
+        preset = name.split(":", 1)[1]
+        key = jax.random.PRNGKey(run_args.seed)
+        if preset == "t5-tiny":
+            kind, cfg = "t5", T5Config.tiny()
+            params = t5_mod.init_params(cfg, key, dtype)
+        elif preset == "t5-large":
+            kind, cfg = "t5", T5Config.flan_t5_large()
+            params = t5_mod.init_params(cfg, key, dtype)
+        elif preset == "t5-xl":
+            kind, cfg = "t5", T5Config.flan_t5_xl()
+            params = t5_mod.init_params(cfg, key, dtype)
+        elif preset == "dec-tiny":
+            kind, cfg = "decoder", DecoderConfig.tiny()
+            params = dec_mod.init_params(cfg, key, dtype)
+        else:
+            raise ValueError(f"unknown random preset {preset!r}")
+        tok = ByteTokenizer(cfg.vocab_size)
+    else:
+        kind, cfg, params = load_pretrained(name, dtype=dtype)
+        tok = HFTokenizer(run_args.tokenizer_name_or_path or name)
+    mesh = mesh_mod.make_mesh(run_args.data_parallel, run_args.tensor_parallel)
+    return ScoringEngine(kind, cfg, params, tok, mesh=mesh)
+
+
+def make_ranker(args, engine):
+    from ..rankers import (
+        DuoT5LlmRanker,
+        ListwiseLlmRanker,
+        MonoT5LlmRanker,
+        PairwiseLlmRanker,
+        PointwiseLlmRanker,
+        SetwiseLlmRanker,
+    )
+
+    model_name = args.run.model_name_or_path or ""
+    if args.pointwise:
+        cls = MonoT5LlmRanker if "monot5" in model_name else PointwiseLlmRanker
+        return cls(engine, method=args.pointwise.method)
+    if args.setwise:
+        if args.setwise.prompt_file:
+            from ..rankers.rank_r1 import RankR1SetwiseLlmRanker
+
+            return RankR1SetwiseLlmRanker(
+                engine,
+                prompt_file=args.setwise.prompt_file,
+                num_child=args.setwise.num_child,
+                k=args.setwise.k,
+                method=args.setwise.method,
+                num_permutation=args.setwise.num_permutation,
+                max_completion_tokens=args.setwise.max_completion_tokens,
+            )
+        return SetwiseLlmRanker(
+            engine,
+            num_child=args.setwise.num_child,
+            k=args.setwise.k,
+            scoring=args.run.scoring,
+            method=args.setwise.method,
+            num_permutation=args.setwise.num_permutation,
+            seed=args.run.seed,
+        )
+    if args.pairwise:
+        if "duot5" in model_name:
+            return DuoT5LlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k)
+        return PairwiseLlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k)
+    if args.listwise:
+        return ListwiseLlmRanker(
+            engine,
+            window_size=args.listwise.window_size,
+            step_size=args.listwise.step_size,
+            num_repeat=args.listwise.num_repeat,
+            scoring=args.run.scoring,
+        )
+    raise ValueError(
+        "Must specify one of --pointwise, --setwise, --pairwise, --listwise."
+    )
+
+
+def load_inputs(args, ranker):
+    """Queries + first-stage rankings with reference truncation rules."""
+    from ..data import docstore as ds_mod
+    from ..data import trec
+    from ..types import SearchResult
+
+    r = args.run
+    # -- queries ----------------------------------------------------------
+    if r.query_file:
+        query_map = ds_mod.load_queries(r.query_file)
+    elif r.ir_dataset_name:
+        query_map = ds_mod.load_queries_ir_datasets(r.ir_dataset_name)
+    elif r.pyserini_index:
+        query_map = ds_mod.load_queries_pyserini_topics(r.pyserini_index)
+    else:
+        raise ValueError("need --query_file, --ir_dataset_name or --pyserini_index")
+    query_map = {
+        qid: ranker.truncate(text, r.query_length) for qid, text in query_map.items()
+    }
+
+    # -- docstore ---------------------------------------------------------
+    if r.corpus_file:
+        store = ds_mod.JsonlDocstore(r.corpus_file)
+    elif r.ir_dataset_name:
+        store = ds_mod.IrDatasetsDocstore(r.ir_dataset_name)
+    elif r.pyserini_index:
+        store = ds_mod.PyseriniDocstore(r.pyserini_index)
+    else:
+        raise ValueError("need a docstore source")
+
+    groups = trec.read_run(r.run_path, hits=r.hits)
+    groups = trec.split_into_shards(
+        groups, r.dataset_number_of_shards, r.dataset_shard_index
+    )
+    done = trec.read_done_qids(r.save_path) if r.resume else set()
+
+    first_stage = []
+    for qid, pairs in groups:
+        if qid in done:
+            continue
+        if qid not in query_map:
+            raise KeyError(
+                f"run file qid {qid!r} not found in the query source "
+                f"({len(query_map)} queries loaded)"
+            )
+        ranking = [
+            SearchResult(
+                docid=d, score=s,
+                text=ranker.truncate(store.get_text(d), r.passage_length),
+            )
+            for d, s in pairs
+        ]
+        first_stage.append((qid, query_map[qid], ranking))
+    return first_stage
+
+
+def main(args) -> None:
+    from ..data.trec import RunWriter
+    from ..utils.metering import EventLog, MeterReport
+
+    rng = random.Random(args.run.seed)
+    engine = make_engine(args.run)
+    ranker = make_ranker(args, engine)
+    first_stage = load_inputs(args, ranker)
+    logger.info("reranking %d queries", len(first_stage))
+
+    for qid, _, ranking in first_stage:
+        if args.run.shuffle_ranking == "random":
+            rng.shuffle(ranking)
+        elif args.run.shuffle_ranking == "inverse":
+            ranking.reverse()
+        elif args.run.shuffle_ranking is not None:
+            raise ValueError(f"Invalid shuffle: {args.run.shuffle_ranking}")
+
+    report = MeterReport()
+    log = EventLog(args.run.event_log)
+    tic = time.time()
+    results = ranker.rerank_many(
+        [q for _, q, _ in first_stage], [r for _, _, r in first_stage]
+    )
+    report.wall_s = time.time() - tic
+
+    with RunWriter(args.run.save_path, "LLMRankers", append=args.run.resume) as w:
+        for (qid, query, _), ranking, stats in zip(
+            first_stage, results, ranker.per_query_stats
+        ):
+            w.write_query(qid, ranking)
+            report.add_query(stats)
+            log.emit(
+                "query_done", qid=qid,
+                comparisons=stats.comparisons,
+                prompt_tokens=stats.prompt_tokens,
+                completion_tokens=stats.completion_tokens,
+            )
+    report.print_summary()
+    log.emit("run_done", **report.summary())
+    log.close()
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    if args.run is None:
+        raise SystemExit("need the `run` section (see --help)")
+    if args.run.ir_dataset_name and args.run.pyserini_index:
+        raise SystemExit("--ir_dataset_name and --pyserini_index are exclusive")
+    main(args)
