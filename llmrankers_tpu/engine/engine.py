@@ -67,7 +67,25 @@ class ScoringEngine:
         len_buckets: Sequence[int] = DEFAULT_LEN_BUCKETS,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         max_batch_tokens: int = 2**17,
+        use_flash: str = "auto",  # 'auto' | 'on' | 'off'
     ):
+        import dataclasses
+        import os
+
+        _mesh_size = 1 if mesh is None else mesh.devices.size
+        # Flash kernel currently runs single-device only (multi-device
+        # needs a shard_map wrapper; planned with the TP path). Under the
+        # axon remote-compile tunnel, Mosaic compiles take minutes, so
+        # 'auto' keeps the XLA path there; LLMRANKERS_FLASH=1 forces it.
+        _tunnel = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+        _force = os.environ.get("LLMRANKERS_FLASH") == "1"
+        if use_flash == "on" or (
+            use_flash == "auto"
+            and jax.default_backend() == "tpu"
+            and _mesh_size == 1
+            and (_force or not _tunnel)
+        ):
+            cfg = dataclasses.replace(cfg, use_flash=True)
         self.kind = kind
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -200,14 +200,17 @@ def decoder_prefill(
 def decoder_greedy_decode(
     params,
     cfg: DecoderConfig,
-    first_token: jax.Array,  # [B] greedy token from prefill logits
+    first_token: jax.Array,  # [B] first sampled/greedy token from prefill
     cache,
     prompt_len: int,
     max_new_tokens: int,
     eos_id: int,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Continue generation; returns [B, max_new_tokens] including the
-    first token (pad after EOS)."""
+    first token (pad after EOS). temperature > 0 samples categorically
+    (GRPO rollouts, train_grpo_v0.2.py:70 temperature=1.2); 0 = greedy."""
     k_cache, v_cache, key_mask, next_pos = cache
     B = first_token.shape[0]
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -256,7 +259,13 @@ def decoder_greedy_decode(
         h, (kc, vc) = jax.lax.scan(layer, x, (params["layers"], kc, vc))
         h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
         logits = dec_mod.lm_logits(params, cfg, h)
-        nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+        if temperature > 0.0 and rng is not None:
+            step_key = jax.random.fold_in(rng, t)
+            nxt = jax.random.categorical(
+                step_key, logits.astype(jnp.float32) / temperature, axis=-1
+            ).astype(tok.dtype)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
         out = jnp.where(done, cfg.pad_token_id, tok)
         done = jnp.logical_or(done, tok == eos_id)
         nxt = jnp.where(done, tok, nxt)

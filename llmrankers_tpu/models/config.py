@@ -32,6 +32,9 @@ class T5Config:
     pad_token_id: int = 0
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
+    # Route attention through the Pallas flash kernel (set by the engine
+    # on TPU; static jit-cache key, so it lives on the config).
+    use_flash: bool = False
 
     @property
     def is_gated(self) -> bool:
@@ -109,6 +112,7 @@ class DecoderConfig:
     pad_token_id: int = 0
     eos_token_id: int = 2
     bos_token_id: int = 1
+    use_flash: bool = False
 
     @property
     def head_dim_(self) -> int:

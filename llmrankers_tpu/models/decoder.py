@@ -63,10 +63,6 @@ def forward_hidden(
     pos = positions_from_mask(attn_mask)
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
 
-    causal = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None])[None, None]
-    pad = attn_mask.astype(bool)[:, None, None, :]
-    mask = jnp.logical_and(causal, pad)
-
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q = hn @ lp["wq"]
@@ -86,7 +82,8 @@ def forward_hidden(
         k = apply_rope(k, cos, sin)
         k = _repeat_kv(k, H // KV)
         v = _repeat_kv(v, H // KV)
-        a = mha(q, k, v, mask=mask, scale=Dh**-0.5)
+        a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
+                use_flash=cfg.use_flash)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + a @ lp["wo"]
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)

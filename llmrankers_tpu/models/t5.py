@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import gelu_new, make_causal_mask, mha, rms_norm
+from ..ops.attention import gelu_new, mha, rms_norm
 from .config import T5Config
 
 Params = Dict[str, Any]
@@ -98,13 +98,15 @@ def _attn(
     cfg: T5Config,
     x: jax.Array,
     kv_src: jax.Array,
-    mask: Optional[jax.Array],
+    kv_mask: Optional[jax.Array],
     bias: Optional[jax.Array],
+    causal: bool = False,
 ) -> jax.Array:
     q = _split_heads(x @ lp[prefix + "q"], cfg.num_heads)
     k = _split_heads(kv_src @ lp[prefix + "k"], cfg.num_heads)
     v = _split_heads(kv_src @ lp[prefix + "v"], cfg.num_heads)
-    out = mha(q, k, v, mask=mask, bias=bias, scale=1.0)
+    out = mha(q, k, v, kv_mask=kv_mask, causal=causal, bias=bias, scale=1.0,
+              use_flash=cfg.use_flash)
     return _merge_heads(out) @ lp[prefix + "o"]
 
 
@@ -125,11 +127,10 @@ def encode(
     x = params["shared"][input_ids]
     L = input_ids.shape[1]
     bias = compute_bias(enc["rel_bias"], L, L, True, cfg)
-    mask = attn_mask.astype(bool)[:, None, None, :]  # key-side padding
 
     def layer(h, lp):
-        a = _attn(lp, "", cfg, rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon),
-                  rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon), mask, bias)
+        hn = rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon)
+        a = _attn(lp, "", cfg, hn, hn, attn_mask, bias)
         h = h + a
         f = _ffn(lp, cfg, rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon))
         return h + f, None
@@ -150,17 +151,13 @@ def decode(
     x = params["shared"][decoder_input_ids]
     T = decoder_input_ids.shape[1]
     self_bias = compute_bias(dec["rel_bias"], T, T, False, cfg)
-    self_mask = make_causal_mask(T)
-    cross_mask = enc_mask.astype(bool)[:, None, None, :]
 
     def layer(h, lp):
-        a = _attn(
-            lp, "", cfg, rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon),
-            rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon), self_mask, self_bias,
-        )
+        hn = rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon)
+        a = _attn(lp, "", cfg, hn, hn, None, self_bias, causal=True)
         h = h + a
         hn = rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon)
-        c = _cross_attn(lp, cfg, hn, enc_out, cross_mask)
+        c = _cross_attn(lp, cfg, hn, enc_out, enc_mask)
         h = h + c
         f = _ffn(lp, cfg, rms_norm(h, lp["ln3"], cfg.layer_norm_epsilon))
         return h + f, None
@@ -170,11 +167,12 @@ def decode(
     return lm_logits(params, cfg, x)
 
 
-def _cross_attn(lp, cfg, x, enc_out, mask):
+def _cross_attn(lp, cfg, x, enc_out, enc_mask):
     q = _split_heads(x @ lp["cq"], cfg.num_heads)
     k = _split_heads(enc_out @ lp["ck"], cfg.num_heads)
     v = _split_heads(enc_out @ lp["cv"], cfg.num_heads)
-    out = mha(q, k, v, mask=mask, bias=None, scale=1.0)
+    out = mha(q, k, v, kv_mask=enc_mask, bias=None, scale=1.0,
+              use_flash=cfg.use_flash)
     return _merge_heads(out) @ lp["co"]
 
 

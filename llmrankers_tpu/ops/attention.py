@@ -20,23 +20,29 @@ def mha(
     q: jax.Array,  # [B, H, Lq, Dh]
     k: jax.Array,  # [B, H, Lk, Dh]
     v: jax.Array,  # [B, H, Lk, Dh]
-    mask: Optional[jax.Array] = None,  # [B, 1|H, Lq, Lk] bool, True = attend
+    mask: Optional[jax.Array] = None,  # [B, 1|H, Lq, Lk] bool (XLA path only)
+    kv_mask: Optional[jax.Array] = None,  # [B, Lk] {0,1} key validity
+    causal: bool = False,
     bias: Optional[jax.Array] = None,  # [1|B, H, Lq, Lk] additive (T5 rel bias)
     scale: Optional[float] = None,  # None -> 1/sqrt(Dh); T5 passes 1.0
     use_flash: bool = False,
 ) -> jax.Array:
     """Multi-head attention. Returns [B, H, Lq, Dh].
 
-    Softmax accumulates in fp32 regardless of input dtype (matches the
-    fp32-softmax behavior of HF's CUDA path closely enough for label-token
-    ranking parity; see SURVEY.md §7 'hard parts' #5).
+    Masking is expressed structurally (``kv_mask`` + ``causal``) so the
+    Pallas flash kernel can consume it without materializing a dense
+    [B, H, Lq, Lk] mask; a dense ``mask`` is still accepted on the XLA
+    path. Softmax accumulates in fp32 regardless of input dtype (see
+    SURVEY.md §7 'hard parts' #5).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if use_flash:
+    if use_flash and mask is None:
         from .flash import flash_mha  # lazy: pallas import only on TPU path
 
-        return flash_mha(q, k, v, mask=mask, bias=bias, scale=scale)
+        return flash_mha(
+            q, k, v, kv_mask=kv_mask, causal=causal, bias=bias, scale=scale
+        )
 
     dtype = q.dtype
     scores = jnp.einsum(
@@ -45,6 +51,12 @@ def mha(
     scores = scores * jnp.asarray(scale, dtype=scores.dtype)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask.astype(bool)[:, None, None, :], scores, NEG_INF)
+    if causal:
+        Lq, Lk = q.shape[2], k.shape[2]
+        tri = jnp.arange(Lk)[None, :] <= (jnp.arange(Lq)[:, None] + (Lk - Lq))
+        scores = jnp.where(tri[None, None], scores, NEG_INF)
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)

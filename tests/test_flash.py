@@ -1,0 +1,124 @@
+"""Flash-attention kernel correctness vs the XLA reference path.
+
+Runs the Pallas kernel in interpreter mode on CPU (same numerics as the
+compiled TPU kernel, minus layout) across the mask/bias/causal matrix the
+models use: encoder self-attn (bias + right padding), decoder self-attn
+(bias + causal), cross-attn (padding only), decoder-only (causal + left
+padding), plus shape-padding edge cases.
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmrankers_tpu.ops import attention, flash
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    # Force interpreter mode so the kernel runs on CPU.
+    orig = flash.pl.pallas_call
+    monkeypatch.setattr(
+        flash.pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    # flash_mha is jitted with a cache — bypass it to pick up the patch.
+    monkeypatch.setattr(flash, "flash_mha", flash.flash_mha.__wrapped__)
+
+
+def _rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def _compare(q, k, v, **kw):
+    want = attention.mha(q, k, v, **kw)
+    got = flash.flash_mha(
+        q, k, v,
+        kv_mask=kw.get("kv_mask"),
+        causal=kw.get("causal", False),
+        bias=kw.get("bias"),
+        scale=kw.get("scale", 1.0),
+        block_q=64,
+        block_k=128,
+    )
+    valid_q = np.ones(q.shape[2], bool)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_plain():
+    B, H, L, D = 2, 3, 128, 64
+    _compare(_rand((B, H, L, D), 0), _rand((B, H, L, D), 1), _rand((B, H, L, D), 2),
+             scale=0.125)
+
+
+def test_flash_bias_and_padding():
+    B, H, L, D = 2, 4, 192, 32  # L not a tile multiple -> padding path
+    q, k, v = (_rand((B, H, L, D), i) for i in range(3))
+    bias = _rand((1, H, L, L), 7) * 2.0
+    kv_mask = jnp.asarray(np.r_[np.ones((1, L)), np.r_[np.ones(100), np.zeros(L - 100)][None]],
+                          jnp.int32)
+    _compare(q, k, v, bias=bias, kv_mask=kv_mask, scale=1.0)
+
+
+def test_flash_causal_bias():
+    B, H, L, D = 1, 2, 256, 64
+    q, k, v = (_rand((B, H, L, D), i + 10) for i in range(3))
+    bias = _rand((1, H, L, L), 11)
+    _compare(q, k, v, bias=bias, causal=True, scale=1.0)
+
+
+def test_flash_left_padding_causal():
+    B, H, L, D = 3, 2, 128, 64
+    q, k, v = (_rand((B, H, L, D), i + 20) for i in range(3))
+    kv_mask = np.ones((B, L), np.int32)
+    kv_mask[1, :50] = 0  # left padding
+    # Compare only rows attending to >=1 valid key (fully-masked rows are
+    # garbage in both paths but flash emits zeros, XLA emits uniform avg).
+    want = attention.mha(q, k, v, kv_mask=jnp.asarray(kv_mask), causal=True,
+                         scale=0.125)
+    got = flash.flash_mha(q, k, v, kv_mask=jnp.asarray(kv_mask), causal=True,
+                          scale=0.125, block_q=64, block_k=128)
+    w, g = np.asarray(want), np.asarray(got)
+    np.testing.assert_allclose(g[0], w[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g[2], w[2], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g[1][:, 50:], w[1][:, 50:], rtol=2e-5, atol=2e-5)
+    # Fully-masked causal+pad rows: flash yields exact zeros (no NaN).
+    assert np.all(np.isfinite(g))
+
+
+def test_flash_cross_attention_rect():
+    B, H, Lq, Lk, D = 2, 2, 64, 320, 64
+    q = _rand((B, H, Lq, D), 30)
+    k = _rand((B, H, Lk, D), 31)
+    v = _rand((B, H, Lk, D), 32)
+    kv_mask = np.ones((B, Lk), np.int32)
+    kv_mask[0, 200:] = 0
+    _compare(q, k, v, kv_mask=jnp.asarray(kv_mask), scale=1.0)
+
+
+def test_t5_forward_flash_matches_xla():
+    """Whole-model check: encode() with use_flash on == off."""
+    import dataclasses
+
+    from llmrankers_tpu.models import t5
+    from llmrankers_tpu.models.config import T5Config
+
+    cfg = T5Config.tiny()
+    params = t5.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(2, 500, (2, 100)))
+    mask = np.ones((2, 100), np.int32)
+    mask[0, 80:] = 0
+    mask = jnp.asarray(mask)
+    base = t5.encode(params, cfg, ids, mask)
+    cfg_f = dataclasses.replace(cfg, use_flash=True)
+    flashed = t5.encode(params, cfg_f, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(flashed)[0, :80], np.asarray(base)[0, :80], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(flashed)[1], np.asarray(base)[1], rtol=2e-4, atol=2e-4
+    )

@@ -1,0 +1,176 @@
+"""Training-layer tests: LoRA, SFT, GRPO, rewards, datasets, checkpoints."""
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+from llmrankers_tpu.models import decoder as dec_mod
+from llmrankers_tpu.models.config import DecoderConfig
+from llmrankers_tpu.parallel import mesh as mesh_mod
+from llmrankers_tpu.train import checkpoint as ckpt_mod
+from llmrankers_tpu.train import lora as lora_mod
+from llmrankers_tpu.train.datasets import (
+    build_setwise_row_v01,
+    build_setwise_row_v02,
+    build_sft_row,
+    load_prompt_pack,
+)
+from llmrankers_tpu.train.grpo import GRPOConfig, GRPOTrainer
+from llmrankers_tpu.train.rewards import reward_setwise
+from llmrankers_tpu.train.sft import SFTConfig, completion_only_mask, make_sft_step
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = DecoderConfig.tiny()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_lora_merge_noop_at_init(tiny_model):
+    cfg, params = tiny_model
+    lcfg = lora_mod.LoraConfig(r=4, alpha=8)
+    lora = lora_mod.init_lora(params, lcfg, jax.random.PRNGKey(1))
+    merged = lora_mod.merge(params, lora, lcfg)
+    # B starts at zero -> merge is identity.
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["wq"]), np.asarray(params["layers"]["wq"])
+    )
+    # Nonzero B changes weights.
+    lora["wq"]["b"] = jnp.ones_like(lora["wq"]["b"])
+    merged2 = lora_mod.merge(params, lora, lcfg)
+    assert np.abs(np.asarray(merged2["layers"]["wq"]) -
+                  np.asarray(params["layers"]["wq"])).max() > 0
+
+
+def test_completion_only_mask():
+    resp = [9, 8]
+    ids = np.asarray([
+        [1, 2, 9, 8, 5, 6, 0, 0],
+        [1, 2, 3, 4, 5, 6, 7, 8],  # no template -> no loss
+    ])
+    m = completion_only_mask(ids, resp, pad_id=0)
+    assert m[0].tolist() == [0, 0, 0, 0, 1, 1, 0, 0]
+    assert m[1].sum() == 0
+
+
+def test_sft_overfits_tiny_batch(tiny_model):
+    cfg, params = tiny_model
+    mesh = mesh_mod.make_mesh(2, 1, devices=jax.devices()[:2])
+    params_s = mesh_mod.shard_params(
+        params, mesh_mod.decoder_param_pspecs(params), mesh
+    )
+    tcfg = SFTConfig(learning_rate=5e-2, lora=lora_mod.LoraConfig(r=4, alpha=8))
+    step, lora, opt = make_sft_step(cfg, tcfg, mesh, params_s)
+    rng = np.random.RandomState(0)
+    B, T = 4, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(2, 500, (B, T)), jnp.int32),
+        "attn_mask": jnp.ones((B, T), jnp.int32),
+        "loss_mask": jnp.asarray((rng.rand(B, T) > 0.3), jnp.float32),
+    }
+    losses = []
+    with mesh:
+        for _ in range(8):
+            lora, opt, metrics = step(lora, opt, batch)
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_reward_setwise_parity():
+    comps = [
+        "<think>reasoning</think>\n<answer>[3]</answer>",
+        "<think>x</think><answer> [3] </answer>",
+        "<answer>[3]</answer>",              # missing think -> 0
+        "<think>y</think><answer>[2]</answer>",
+        "garbage",
+    ]
+    gts = ["[3]", "[3]", "[3]", "[3]", "[3]"]
+    assert reward_setwise(comps, gts) == [1.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def test_grpo_step(tiny_model):
+    cfg, params = tiny_model
+    mesh = mesh_mod.make_mesh(1, 1)
+    tok = ByteTokenizer(cfg.vocab_size)
+    gcfg = GRPOConfig(num_generations=4, max_completion_length=8,
+                      max_prompt_length=64, beta=0.04,
+                      lora=lora_mod.LoraConfig(r=2, alpha=4))
+
+    # Deterministic pseudo-random reward so groups have variance.
+    def reward(completions, gts):
+        return [float(hash(c) % 2) for c in completions]
+
+    tr = GRPOTrainer(cfg, params, tok, gcfg, mesh, reward_fn=reward)
+    prompts = [
+        [{"role": "system", "content": "sys"},
+         {"role": "user", "content": f"pick the best doc {i}"}]
+        for i in range(2)
+    ]
+    before = np.asarray(tr.lora["wq"]["b"]).copy()
+    m1 = tr.train_step(prompts, ["[1]", "[2]"])
+    m2 = tr.train_step(prompts, ["[1]", "[2]"])
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    assert "kl" in m1 and m1["kl"] >= -1e-6
+    assert 0.0 <= m1["reward_mean"] <= 1.0
+    after = np.asarray(tr.lora["wq"]["b"])
+    if m1["reward_std"] > 0 or m2["reward_std"] > 0:
+        assert np.abs(after - before).max() > 0
+
+
+def test_dataset_builders():
+    prompt = load_prompt_pack(
+        "/root/repo/llmrankers_tpu/prompts/prompt_setwise-R1.toml"
+    )
+    ex = {
+        "query": "what is jax",
+        "positive_passages": [{"title": "T", "text": "jax is an array library"}],
+        "negative_passages": [
+            {"title": f"N{i}", "text": f"negative doc {i}"} for i in range(25)
+        ],
+    }
+    rng = random.Random(929)
+    row = build_setwise_row_v01(ex, prompt, rng)
+    assert row["prompt"][0]["role"] == "system"
+    user = row["prompt"][1]["content"]
+    assert "what is jax" in user
+    # ground truth points at the line holding the positive passage.
+    idx = int(row["ground_truth"].strip("[]"))
+    line = [l for l in user.splitlines() if l.startswith(f"[{idx}]")][0]
+    assert "jax is an array library" in line
+    # at most 20 docs rendered
+    assert sum(1 for l in user.splitlines() if l[:1] == "[") <= 20
+
+    v2prompt = load_prompt_pack(
+        "/root/repo/llmrankers_tpu/prompts/prompt_setwise-R1-v0.2.toml"
+    )
+    row2 = build_setwise_row_v02(ex, v2prompt, random.Random(1),
+                                 tokenizer=ByteTokenizer())
+    idx2 = int(row2["ground_truth"].strip("[]"))
+    assert f"[{idx2}]: " in row2["prompt"][1]["content"]
+
+    sft = build_sft_row(ex, prompt, random.Random(2))
+    assert sft["completion"][0]["content"].startswith("<answer>[")
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_model):
+    cfg, params = tiny_model
+    lcfg = lora_mod.LoraConfig(r=2, alpha=4)
+    lora = lora_mod.init_lora(params, lcfg, jax.random.PRNGKey(3))
+    import optax
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(lora)
+    ckpt_mod.save(str(tmp_path / "ck"), 7, lora, opt)
+    assert ckpt_mod.latest_step(str(tmp_path / "ck")) == 7
+    step, lora2, opt2 = ckpt_mod.restore(
+        str(tmp_path / "ck"), {"step": 0, "lora": lora, "opt_state": opt}
+    )
+    assert step == 7
+    np.testing.assert_allclose(
+        np.asarray(lora2["wq"]["a"]), np.asarray(lora["wq"]["a"])
+    )
