@@ -47,6 +47,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from llmrankers_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
     from llmrankers_tpu.models import t5
     from llmrankers_tpu.models.config import T5Config
@@ -56,7 +60,7 @@ def main():
     params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
 
-    N_QUERIES, N_DOCS = 16, 100
+    N_QUERIES, N_DOCS = 43, 100
     queries, rankings = build_workload(N_QUERIES, N_DOCS, 128, 16)
 
     # ---- batched path ----------------------------------------------------

@@ -134,6 +134,9 @@ def make_engine(run_args):
     from ..engine.tokenizer import ByteTokenizer, HFTokenizer
     from ..models.loader import load_pretrained
     from ..parallel import mesh as mesh_mod
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dtype = jnp.bfloat16 if run_args.dtype == "bfloat16" else jnp.float32
     name = run_args.model_name_or_path or ""
@@ -177,6 +180,35 @@ def make_ranker(args, engine):
     )
 
     model_name = args.run.model_name_or_path or ""
+    if args.run.openai_key:
+        from ..rankers.api import (
+            ChatApiClient,
+            OpenAiListwiseLlmRanker,
+            OpenAiPairwiseLlmRanker,
+            OpenAiSetwiseLlmRanker,
+        )
+
+        client = ChatApiClient(
+            model=model_name,
+            api_key=args.run.openai_key,
+            base_url=args.run.api_base_url or "https://api.openai.com/v1",
+        )
+        if args.setwise:
+            return OpenAiSetwiseLlmRanker(
+                client, num_child=args.setwise.num_child,
+                method=args.setwise.method, k=args.setwise.k,
+            )
+        if args.pairwise:
+            return OpenAiPairwiseLlmRanker(
+                client, method=args.pairwise.method, k=args.pairwise.k
+            )
+        if args.listwise:
+            return OpenAiListwiseLlmRanker(
+                client, window_size=args.listwise.window_size,
+                step_size=args.listwise.step_size,
+                num_repeat=args.listwise.num_repeat,
+            )
+        raise ValueError("API backend supports setwise/pairwise/listwise only")
     if args.pointwise:
         cls = MonoT5LlmRanker if "monot5" in model_name else PointwiseLlmRanker
         return cls(engine, method=args.pointwise.method)
@@ -280,7 +312,7 @@ def main(args) -> None:
     from ..utils.metering import EventLog, MeterReport
 
     rng = random.Random(args.run.seed)
-    engine = make_engine(args.run)
+    engine = None if args.run.openai_key else make_engine(args.run)
     ranker = make_ranker(args, engine)
     first_stage = load_inputs(args, ranker)
     logger.info("reranking %d queries", len(first_stage))

@@ -1,0 +1,187 @@
+"""Training CLI: GRPO / SFT for setwise rerankers.
+
+Entry-point parity with the reference's launch scripts
+(deepspeed train_grpo.py / train_sft.py, Rank-R1/README.md:313-326),
+rebuilt on the JAX trainers. Data arrives as a JSONL file of
+{"prompt": [...chat messages...], "ground_truth": "[i]"} rows (build one
+with llmrankers_tpu.train.datasets), so no HF-datasets network access is
+required.
+
+    python -m llmrankers_tpu.cli.train grpo \
+        --model_name_or_path /path/to/qwen2.5-3b \
+        --dataset data.jsonl --output_dir ckpts --steps 100 \
+        --num_generations 8 --batch_size 4
+
+    python -m llmrankers_tpu.cli.train sft \
+        --model_name_or_path ... --dataset data.jsonl --output_dir ckpts
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from typing import List
+
+logger = logging.getLogger(__name__)
+
+
+def add_common(p):
+    p.add_argument("--model_name_or_path", type=str, required=True,
+                   help="local HF checkpoint dir, or random:dec-tiny for smoke")
+    p.add_argument("--tokenizer_name_or_path", type=str, default=None)
+    p.add_argument("--dataset", type=str, required=True, help="JSONL rows")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=int, default=32)
+    p.add_argument("--save_steps", type=int, default=20)
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--seed", type=int, default=929)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="llmrankers_tpu.train")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("grpo")
+    add_common(g)
+    g.add_argument("--num_generations", type=int, default=8)
+    g.add_argument("--temperature", type=float, default=1.0)
+    g.add_argument("--beta", type=float, default=0.04)
+    g.add_argument("--max_completion_length", type=int, default=2048)
+    g.add_argument("--max_prompt_length", type=int, default=4096)
+    s = sub.add_parser("sft")
+    add_common(s)
+    s.add_argument("--max_length", type=int, default=4096)
+    s.add_argument("--response_template", type=str, default="<|assistant|>")
+    return p
+
+
+def load_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.tokenizer import ByteTokenizer, HFTokenizer
+    from ..models.loader import load_pretrained
+    from ..parallel import mesh as mesh_mod
+
+    if args.model_name_or_path.startswith("random:"):
+        from ..models import decoder as dec_mod
+        from ..models.config import DecoderConfig
+
+        cfg = DecoderConfig.tiny()
+        params = dec_mod.init_params(cfg, jax.random.PRNGKey(args.seed))
+        tok = ByteTokenizer(cfg.vocab_size)
+    else:
+        kind, cfg, params = load_pretrained(
+            args.model_name_or_path, dtype=jnp.bfloat16
+        )
+        if kind != "decoder":
+            raise ValueError("training targets decoder-only chat models")
+        tok = HFTokenizer(args.tokenizer_name_or_path or args.model_name_or_path)
+    mesh = mesh_mod.make_mesh(args.data_parallel, args.tensor_parallel)
+    params = mesh_mod.shard_params(
+        params, mesh_mod.decoder_param_pspecs(params), mesh
+    )
+    return cfg, params, tok, mesh
+
+
+def load_rows(path: str) -> List[dict]:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                rows.append(json.loads(line))
+    return rows
+
+
+def main_grpo(args):
+    from ..train import checkpoint as ckpt
+    from ..train.grpo import GRPOConfig, GRPOTrainer
+    from ..train.lora import LoraConfig
+
+    cfg, params, tok, mesh = load_model(args)
+    rows = load_rows(args.dataset)
+    gcfg = GRPOConfig(
+        learning_rate=args.learning_rate,
+        num_generations=args.num_generations,
+        temperature=args.temperature,
+        beta=args.beta,
+        max_completion_length=args.max_completion_length,
+        max_prompt_length=args.max_prompt_length,
+        lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+    )
+    trainer = GRPOTrainer(cfg, params, tok, gcfg, mesh)
+    t0 = time.time()
+    for step in range(args.steps):
+        batch = [rows[(step * args.batch_size + i) % len(rows)]
+                 for i in range(args.batch_size)]
+        metrics = trainer.train_step(
+            [r["prompt"] for r in batch], [r["ground_truth"] for r in batch]
+        )
+        print(json.dumps({"step": step, "elapsed_s": round(time.time() - t0, 1),
+                          **{k: round(v, 5) for k, v in metrics.items()}}),
+              flush=True)
+        if (step + 1) % args.save_steps == 0 or step + 1 == args.steps:
+            ckpt.save(args.output_dir, step + 1, trainer.lora, trainer.opt_state)
+
+
+def main_sft(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..train import checkpoint as ckpt
+    from ..train.lora import LoraConfig
+    from ..train.sft import SFTConfig, completion_only_mask, make_sft_step
+
+    cfg, params, tok, mesh = load_model(args)
+    rows = load_rows(args.dataset)
+    tcfg = SFTConfig(
+        learning_rate=args.learning_rate,
+        max_length=args.max_length,
+        lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+    )
+    step_fn, lora, opt = make_sft_step(cfg, tcfg, mesh, params)
+    resp_ids = tok.encode(args.response_template, add_special_tokens=False)
+    t0 = time.time()
+    with mesh:
+        for step in range(args.steps):
+            batch_rows = [rows[(step * args.batch_size + i) % len(rows)]
+                          for i in range(args.batch_size)]
+            texts = []
+            for r in batch_rows:
+                msgs = list(r["prompt"]) + list(r.get("completion", []))
+                texts.append(tok.apply_chat_template(msgs, add_generation_prompt=False))
+            enc = [tok.encode(t, add_special_tokens=False)[: args.max_length]
+                   for t in texts]
+            L = max(8, 1 << (max(len(e) for e in enc) - 1).bit_length())
+            B = len(enc)
+            ids = np.full((B, L), tok.pad_id, np.int32)
+            attn = np.zeros((B, L), np.int32)
+            for i, e in enumerate(enc):
+                ids[i, : len(e)] = e
+                attn[i, : len(e)] = 1
+            lmask = completion_only_mask(ids, resp_ids, tok.pad_id)
+            lora, opt, metrics = step_fn(lora, opt, {
+                "input_ids": jnp.asarray(ids),
+                "attn_mask": jnp.asarray(attn),
+                "loss_mask": jnp.asarray(lmask),
+            })
+            print(json.dumps({
+                "step": step, "elapsed_s": round(time.time() - t0, 1),
+                "loss": round(float(metrics["loss"]), 5),
+                "tokens": int(metrics["tokens"]),
+            }), flush=True)
+            if (step + 1) % args.save_steps == 0 or step + 1 == args.steps:
+                ckpt.save(args.output_dir, step + 1, lora, opt)
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    if args.cmd == "grpo":
+        main_grpo(args)
+    else:
+        main_sft(args)

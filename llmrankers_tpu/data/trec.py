@@ -15,23 +15,38 @@ from ..types import SearchResult
 
 
 def read_run(path: str, hits: Optional[int] = None) -> List[Tuple[str, List[Tuple[str, float]]]]:
-    """Parse a TREC run grouped by qid in file order, cut at ``hits``."""
+    """Parse a TREC run grouped by qid in file order, cut at ``hits``.
+
+    Uses the native single-pass parser (native/hostops.cpp) when built;
+    falls back to pure Python."""
+    from ..utils import native
+
+    cols = native.trec_parse(path) if native.available() else None
     groups: List[Tuple[str, List[Tuple[str, float]]]] = []
     current_qid: Optional[str] = None
     current: List[Tuple[str, float]] = []
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) < 6:
-                continue
-            qid, _, docid, _, score, _ = parts[:6]
-            if qid != current_qid:
-                if current_qid is not None:
-                    groups.append((current_qid, current))
-                current_qid, current = qid, []
-            if hits is not None and len(current) >= hits:
-                continue
-            current.append((docid, float(score)))
+
+    def feed(qid: str, docid: str, score: float) -> None:
+        nonlocal current_qid, current
+        if qid != current_qid:
+            if current_qid is not None:
+                groups.append((current_qid, current))
+            current_qid, current = qid, []
+        if hits is not None and len(current) >= hits:
+            return
+        current.append((docid, score))
+
+    if cols is not None:
+        qids, docids, _ranks, scores = cols
+        for qid, docid, score in zip(qids, docids, scores):
+            feed(qid, docid, float(score))
+    else:
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 6:
+                    continue
+                feed(parts[0], parts[2], float(parts[4]))
     if current_qid is not None:
         groups.append((current_qid, current))
     return groups

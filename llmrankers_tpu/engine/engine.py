@@ -74,16 +74,14 @@ class ScoringEngine:
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
         # Flash kernel currently runs single-device only (multi-device
-        # needs a shard_map wrapper; planned with the TP path). Under the
-        # axon remote-compile tunnel, Mosaic compiles take minutes, so
-        # 'auto' keeps the XLA path there; LLMRANKERS_FLASH=1 forces it.
-        _tunnel = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
-        _force = os.environ.get("LLMRANKERS_FLASH") == "1"
+        # needs a shard_map wrapper; planned with the TP path).
+        # LLMRANKERS_NO_FLASH=1 opts out.
+        _no = os.environ.get("LLMRANKERS_NO_FLASH") == "1"
         if use_flash == "on" or (
             use_flash == "auto"
             and jax.default_backend() == "tpu"
             and _mesh_size == 1
-            and (_force or not _tunnel)
+            and not _no
         ):
             cfg = dataclasses.replace(cfg, use_flash=True)
         self.kind = kind
@@ -107,36 +105,22 @@ class ScoringEngine:
     # Host-side padding/bucketing
     # ------------------------------------------------------------------
     def _pad_batch(
-        self, rows: List[List[int]]
+        self, rows: List[List[int]], left: bool = False
     ) -> Tuple[np.ndarray, np.ndarray, int, int]:
-        """Right-pad token rows into a (batch, length) bucket."""
+        """Pad token rows into a (batch, length) bucket. Right padding for
+        encoder prompts; left padding for decoder-only batch generation
+        (pairwise.py:71). Scatter runs in native code when available."""
+        from ..utils import native
+
         n = len(rows)
         max_len = max((len(r) for r in rows), default=1)
         L = _bucket(max_len, self.len_buckets)
         B = _bucket(n, self.batch_buckets)
-        ids = np.full((B, L), self.tokenizer.pad_id, dtype=np.int32)
-        mask = np.zeros((B, L), dtype=np.int32)
-        for i, r in enumerate(rows):
-            r = r[:L]
-            ids[i, : len(r)] = r
-            mask[i, : len(r)] = 1
+        ids, mask = native.pack_padded(rows, B, L, self.tokenizer.pad_id, left)
         return ids, mask, n, B
 
-    def _pad_batch_left(
-        self, rows: List[List[int]]
-    ) -> Tuple[np.ndarray, np.ndarray, int, int]:
-        """Left-pad (decoder-only batch generation, pairwise.py:71)."""
-        n = len(rows)
-        max_len = max((len(r) for r in rows), default=1)
-        L = _bucket(max_len, self.len_buckets)
-        B = _bucket(n, self.batch_buckets)
-        ids = np.full((B, L), self.tokenizer.pad_id, dtype=np.int32)
-        mask = np.zeros((B, L), dtype=np.int32)
-        for i, r in enumerate(rows):
-            r = r[:L]
-            ids[i, L - len(r):] = r
-            mask[i, L - len(r):] = 1
-        return ids, mask, n, B
+    def _pad_batch_left(self, rows: List[List[int]]):
+        return self._pad_batch(rows, left=True)
 
     def _chunks(self, rows: List[List[int]]):
         """Split an oversized wave so B*L stays under max_batch_tokens."""
@@ -170,17 +154,21 @@ class ScoringEngine:
         out = np.zeros((len(prompt_rows), len(label_ids)), np.float32)
         labels = tuple(int(x) for x in label_ids)
         prefix = tuple(int(x) for x in decoder_prefix)
+        # Two phases: submit every chunk first (JAX dispatch is async, so
+        # host padding of chunk i+1 overlaps device compute of chunk i),
+        # then fetch.
+        pending = []
         for off, chunk in self._chunks(prompt_rows):
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk)
                 fn = self._get_jit("t5_labels", ids.shape, labels, prefix)
-                res = fn(self.params, *self._put(ids, mask))
             else:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_labels", ids.shape, labels, prefix)
-                res = fn(self.params, *self._put(ids, mask))
+            pending.append((off, n, fn(self.params, *self._put(ids, mask))))
+        for off, n, res in pending:
             out[off : off + n] = np.asarray(res)[:n]
         return out
 
@@ -294,8 +282,10 @@ class ScoringEngine:
             def fn(params, ids, mask):
                 B = ids.shape[0]
                 pref = jnp.tile(jnp.asarray(list(prefix), jnp.int32)[None], (B, 1))
-                logits = t5_mod.forward(params, cfg, ids, mask, pref)
-                return logits[:, -1, :].astype(jnp.float32)[:, label_arr]
+                enc_out = t5_mod.encode(params, cfg, ids, mask)
+                hidden = t5_mod.decode_hidden(params, cfg, pref, enc_out, mask)
+                out = t5_mod.label_logits(params, cfg, hidden[:, -1, :], label_arr)
+                return out.astype(jnp.float32)
 
             return jax.jit(fn)
         if name == "dec_labels":
@@ -303,9 +293,10 @@ class ScoringEngine:
             label_arr = jnp.asarray(list(labels), jnp.int32)
 
             def fn(params, ids, mask):
-                logits = dec_mod.forward(params, cfg, ids, mask)
+                hidden, _ = dec_mod.forward_hidden(params, cfg, ids, mask)
                 # Left-padded: last position is the last real token.
-                return logits[:, -1, :].astype(jnp.float32)[:, label_arr]
+                out = dec_mod.label_logits(params, cfg, hidden[:, -1, :], label_arr)
+                return out.astype(jnp.float32)
 
             return jax.jit(fn)
         if name == "t5_nll":

@@ -101,6 +101,17 @@ def lm_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax.Arra
     return hidden @ params["lm_head"]
 
 
+def label_logits(
+    params: Params, cfg: DecoderConfig, hidden: jax.Array, label_ids: jax.Array
+) -> jax.Array:
+    """Logits for selected label tokens only ([D, K] matmul, not [D, V])."""
+    if cfg.tie_word_embeddings:
+        w = params["embed"][label_ids].T
+    else:
+        w = params["lm_head"][:, label_ids]
+    return hidden @ w
+
+
 def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 32))
     D, F = cfg.hidden_size, cfg.intermediate_size

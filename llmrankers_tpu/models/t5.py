@@ -147,6 +147,18 @@ def decode(
     enc_mask: jax.Array,  # [B, L] {0,1}
 ) -> jax.Array:
     """Teacher-forced decoder forward -> logits [B, T, V]."""
+    x = decode_hidden(params, cfg, decoder_input_ids, enc_out, enc_mask)
+    return lm_logits(params, cfg, x)
+
+
+def decode_hidden(
+    params: Params,
+    cfg: T5Config,
+    decoder_input_ids: jax.Array,
+    enc_out: jax.Array,
+    enc_mask: jax.Array,
+) -> jax.Array:
+    """Decoder forward up to the final layer norm -> hidden [B, T, D]."""
     dec = params["decoder"]
     x = params["shared"][decoder_input_ids]
     T = decoder_input_ids.shape[1]
@@ -163,8 +175,7 @@ def decode(
         return h + f, None
 
     x, _ = jax.lax.scan(layer, x, dec["layers"])
-    x = rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
-    return lm_logits(params, cfg, x)
+    return rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
 
 
 def _cross_attn(lp, cfg, x, enc_out, enc_mask):
@@ -181,6 +192,20 @@ def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:
         hidden = hidden * (cfg.d_model**-0.5)
         return hidden @ params["shared"].T
     return hidden @ params["lm_head"]
+
+
+def label_logits(
+    params: Params, cfg: T5Config, hidden: jax.Array, label_ids: jax.Array
+) -> jax.Array:
+    """Logits for only the given label token ids — a [D, K] matmul
+    instead of the full [D, V] vocabulary projection. Order-preserving
+    vs the reference's softmax-then-gather (setwise.py:184-186)."""
+    if cfg.tie_word_embeddings:
+        hidden = hidden * (cfg.d_model**-0.5)
+        w = params["shared"][label_ids].T  # [D, K]
+    else:
+        w = params["lm_head"][:, label_ids]
+    return hidden @ w
 
 
 def forward(

@@ -37,7 +37,10 @@ def mha(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if use_flash and mask is None:
+    # Flash targets the hot op — long-sequence encoder/prefill attention.
+    # Short decoder steps stay on XLA (kernel launch overhead dominates,
+    # and each extra shape costs a Mosaic compile).
+    if use_flash and mask is None and q.shape[2] >= 128:
         from .flash import flash_mha  # lazy: pallas import only on TPU path
 
         return flash_mha(

@@ -27,12 +27,12 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    q_ref,  # [TQ, Dh]
-    k_ref,  # [Lk, Dh]
-    v_ref,  # [Lk, Dh]
-    kvm_ref,  # [1, Lk] int32 or None
-    bias_ref,  # [TQ, Lk] or None
-    o_ref,  # [TQ, Dh]
+    q_ref,  # [1, 1, TQ, Dh]
+    k_ref,  # [1, 1, Lk, Dh]
+    v_ref,  # [1, 1, Lk, Dh]
+    kvm_ref,  # [1, 1, Lk] int32 or None
+    bias_ref,  # [1, TQ, Lk] or None
+    o_ref,  # [1, 1, TQ, Dh]
     *,
     scale: float,
     causal: bool,
@@ -40,52 +40,70 @@ def _kernel(
     lq: int,
     lk: int,
 ):
-    tq, dh = q_ref.shape
+    tq, dh = q_ref.shape[2], q_ref.shape[3]
     iq = pl.program_id(2)
-    q = q_ref[:].astype(jnp.float32) * scale
+    # Keep matmul operands in the input dtype (bf16 feeds the MXU at full
+    # rate); accumulate and softmax in fp32. Masking is ADDITIVE: kvm_ref
+    # arrives as a precomputed fp32 penalty vector (0 or NEG_INF) so the
+    # inner loop does one add instead of compare+select; the only
+    # per-element compare left is the causal predicate on diagonal tiles.
+    # m is floored at M_FLOOR so fully-masked rows exp to exact 0.
+    M_FLOOR = -1e28
+    q = q_ref[0, 0]
 
-    m = jnp.full((tq, 1), NEG_INF, jnp.float32)
+    m = jnp.full((tq, 1), M_FLOOR, jnp.float32)
     l = jnp.zeros((tq, 1), jnp.float32)
     acc = jnp.zeros((tq, dh), jnp.float32)
 
-    row_ids = iq * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-
     nk = lk // tk
     for kt in range(nk):
-        k_tile = k_ref[pl.ds(kt * tk, tk), :].astype(jnp.float32)
+        if causal:
+            # Tiles fully above the diagonal contribute nothing; skip the
+            # compute at trace time when the whole grid row is masked is
+            # impossible (iq is dynamic), but the mask below stays exact.
+            row_ids = iq * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        k_tile = k_ref[0, 0, pl.ds(kt * tk, tk), :]
         s = jax.lax.dot_general(
             q, k_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [TQ, TK]
+        )  # [TQ, TK] fp32
+        if scale != 1.0:
+            s = s * scale
         if bias_ref is not None:
-            s = s + bias_ref[:, pl.ds(kt * tk, tk)].astype(jnp.float32)
-        col_ids = kt * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        valid = jnp.ones((tq, tk), jnp.bool_)
+            s = s + bias_ref[0, :, pl.ds(kt * tk, tk)]
         if kvm_ref is not None:
-            valid = jnp.logical_and(
-                valid, (kvm_ref[0, pl.ds(kt * tk, tk)] > 0)[None, :]
-            )
+            s = s + kvm_ref[0, 0, pl.ds(kt * tk, tk)][None, :]
         if causal:
-            # Query position i attends to key positions <= i + (Lk - Lq).
-            valid = jnp.logical_and(valid, col_ids <= row_ids + (lk - lq))
-        s = jnp.where(valid, s, NEG_INF)
+            col_ids = kt * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            s = jnp.where(col_ids <= row_ids + (lk - lq), s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        # Explicit re-mask: in a fully-masked tile s == m_new == NEG_INF
-        # and exp(s - m_new) would be 1, not 0.
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[pl.ds(kt * tk, tk), :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m = m_new
+        if nk == 1:
+            # Single-tile fast path: plain softmax, no online correction.
+            m_new = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), M_FLOOR)
+            p = jnp.exp(s - m_new)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(
+                jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True)), M_FLOOR
+            )
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, pl.ds(kt * tk, tk), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
 
     # Fully-masked rows (padded queries) have l == 0; emit zeros.
     out = acc / jnp.maximum(l, 1e-30)
-    o_ref[:] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int, value=0):
@@ -119,26 +137,31 @@ def flash_mha(
 
     tq = min(block_q, max(Lq, 8))
     tk = min(block_k, max(Lk, 128))
-    # Pad sequence dims to tile multiples; padded keys are masked off via
-    # kv_mask (which we materialize if padding is added).
-    q_p = _pad_to(q, 2, tq)
-    k_p = _pad_to(k, 2, tk)
-    v_p = _pad_to(v, 2, tk)
+    # Pad sequence dims to tile multiples and the head dim to the 128-lane
+    # tiling (zero columns leave q.k dot products and the V matmul exact;
+    # the extra output columns are sliced off). Padded keys are masked via
+    # kv_mask (materialized if padding is added).
+    q_p = _pad_to(_pad_to(q, 2, tq), 3, 128)
+    k_p = _pad_to(_pad_to(k, 2, tk), 3, 128)
+    v_p = _pad_to(_pad_to(v, 2, tk), 3, 128)
     Lq_p, Lk_p = q_p.shape[2], k_p.shape[2]
     if Lk_p != Lk and kv_mask is None:
         kv_mask = jnp.ones((B, Lk), jnp.int32)
     if kv_mask is not None:
-        kv_mask = _pad_to(kv_mask.astype(jnp.int32), 1, tk)[:, None, :]  # [B,1,Lk_p]
+        # Additive penalty vector: 0 where valid, NEG_INF where masked.
+        penalty = (1.0 - kv_mask.astype(jnp.float32)) * NEG_INF
+        kv_mask = _pad_to(penalty, 1, tk, value=NEG_INF)[:, None, :]  # [B,1,Lk_p]
 
     bias_p = None
     if bias is not None:
         bias_p = _pad_to(_pad_to(bias[0], 1, tq), 2, tk)  # [H, Lq_p, Lk_p]
 
+    Dh_p = q_p.shape[3]
     grid = (B, H, Lq_p // tq)
     in_specs = [
-        pl.BlockSpec((1, 1, tq, Dh), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, Lk_p, Dh), lambda b, h, i: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, Lk_p, Dh), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, tq, Dh_p), lambda b, h, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda b, h, i: (b, h, 0, 0)),
     ]
     args = [q_p, k_p, v_p]
     if kv_mask is not None:
@@ -155,10 +178,7 @@ def flash_mha(
         bias_ref = refs[idx] if bias_p is not None else None
         o_ref = refs[-1]
         _kernel(
-            refs[0].at[0, 0], refs[1].at[0, 0], refs[2].at[0, 0],
-            kvm_ref.at[0] if kvm_ref is not None else None,
-            bias_ref.at[0] if bias_ref is not None else None,
-            o_ref.at[0, 0],
+            refs[0], refs[1], refs[2], kvm_ref, bias_ref, o_ref,
             scale=scale, causal=causal, tk=tk, lq=Lq_p, lk=Lk_p,
         )
 
@@ -166,12 +186,12 @@ def flash_mha(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tq, Dh), lambda b, h, i: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, Dh), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, tq, Dh_p), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, Dh_p), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Lq_p * Lk_p * Dh,
             bytes_accessed=(q_p.size + k_p.size + v_p.size) * q_p.dtype.itemsize,
             transcendentals=B * H * Lq_p * Lk_p,
         ),
     )(*args)
-    return out[:, :, :Lq, :]
+    return out[:, :, :Lq, :Dh]

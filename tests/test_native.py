@@ -1,0 +1,60 @@
+"""Native host-ops: build, correctness vs numpy fallback, TREC parser."""
+import numpy as np
+import pytest
+
+from llmrankers_tpu.utils import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available():
+        pytest.skip("native library unavailable (no compiler?)")
+
+
+def test_pack_padded_matches_fallback():
+    rows = [[1, 2, 3], [4], list(range(5, 45)), []]
+    for left in (False, True):
+        ids_n, mask_n = native.pack_padded(rows, 8, 16, 0, left)
+        # Force the fallback by calling the pure-python branch directly.
+        lib, native._lib = native._lib, None
+        tried = native._tried
+        native._tried = True
+        try:
+            ids_f, mask_f = native.pack_padded(rows, 8, 16, 0, left)
+        finally:
+            native._lib, native._tried = lib, tried
+        np.testing.assert_array_equal(ids_n, ids_f)
+        np.testing.assert_array_equal(mask_n, mask_f)
+    # Truncation: row longer than L keeps head (right) / tail (left).
+    long = [list(range(100))]
+    ids_r, _ = native.pack_padded(long, 1, 16, 0, False)
+    ids_l, _ = native.pack_padded(long, 1, 16, 0, True)
+    assert ids_r[0, 0] == 0 and ids_r[0, 15] == 15
+    assert ids_l[0, 0] == 84 and ids_l[0, 15] == 99
+
+
+def test_trec_parse(tmp_path):
+    p = tmp_path / "run.txt"
+    with open(p, "w") as f:
+        f.write("q1 Q0 docA 1 12.5 tag\n")
+        f.write("q1\tQ0\tdocB\t2\t11.25\ttag\n")  # tabs
+        f.write("malformed line\n")
+        f.write("q2 Q0 docC 1 -3.5 tag\n")
+    qids, docids, ranks, scores = native.trec_parse(str(p))
+    assert qids == ["q1", "q1", "q2"]
+    assert docids == ["docA", "docB", "docC"]
+    assert ranks.tolist() == [1, 2, 1]
+    assert scores.tolist() == [12.5, 11.25, -3.5]
+
+
+def test_read_run_uses_native(tmp_path):
+    from llmrankers_tpu.data import trec
+
+    p = tmp_path / "run.txt"
+    with open(p, "w") as f:
+        for q in range(3):
+            for d in range(5):
+                f.write(f"q{q} Q0 d{d} {d+1} {10-d} x\n")
+    groups = trec.read_run(str(p), hits=3)
+    assert len(groups) == 3 and all(len(g[1]) == 3 for g in groups)
+    assert groups[0][1][0] == ("d0", 10.0)
