@@ -120,8 +120,10 @@ def parse_args(argv: Optional[List[str]] = None):
 
 
 # ---------------------------------------------------------------------------
-def make_engine(run_args):
+def make_engine(run_args, lora_path=None):
     """Build a ScoringEngine from a local HF checkpoint directory.
+    ``lora_path`` merges a PEFT-format adapter into the weights
+    (the vLLM LoRARequest path, setwise.py:494-497).
 
     ``--model_name_or_path random:{t5-tiny|t5-large|t5-xl|dec-tiny}``
     builds a random-init model with the byte tokenizer — the offline
@@ -165,6 +167,11 @@ def make_engine(run_args):
     else:
         kind, cfg, params = load_pretrained(name, dtype=dtype)
         tok = HFTokenizer(run_args.tokenizer_name_or_path or name)
+    if lora_path:
+        from ..train import lora as lora_mod
+
+        adapter, lcfg = lora_mod.load_peft_adapter(lora_path, params, dtype=dtype)
+        params = lora_mod.merge(params, adapter, lcfg)
     mesh = mesh_mod.make_mesh(run_args.data_parallel, run_args.tensor_parallel)
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh)
 
@@ -312,7 +319,8 @@ def main(args) -> None:
     from ..utils.metering import EventLog, MeterReport
 
     rng = random.Random(args.run.seed)
-    engine = None if args.run.openai_key else make_engine(args.run)
+    lora_path = args.setwise.lora_name_or_path if args.setwise else None
+    engine = None if args.run.openai_key else make_engine(args.run, lora_path)
     ranker = make_ranker(args, engine)
     first_stage = load_inputs(args, ranker)
     logger.info("reranking %d queries", len(first_stage))

@@ -174,3 +174,45 @@ def test_checkpoint_roundtrip(tmp_path, tiny_model):
     np.testing.assert_allclose(
         np.asarray(lora2["wq"]["a"]), np.asarray(lora["wq"]["a"])
     )
+
+
+def test_load_peft_adapter_roundtrip(tmp_path, tiny_model):
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    cfg, params = tiny_model
+    L = cfg.num_hidden_layers
+    D = cfg.hidden_size
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    r = 4
+    rng = np.random.RandomState(0)
+    sd = {}
+    for i in range(L):
+        for hf, (din, dout) in [("q_proj", (D, H * Dh)), ("v_proj", (D, KV * Dh))]:
+            sd[f"base_model.model.model.layers.{i}.self_attn.{hf}.lora_A.weight"] = (
+                rng.randn(r, din).astype(np.float32)
+            )
+            sd[f"base_model.model.model.layers.{i}.self_attn.{hf}.lora_B.weight"] = (
+                rng.randn(dout, r).astype(np.float32)
+            )
+    save_file(sd, str(tmp_path / "adapter_model.safetensors"))
+    with open(tmp_path / "adapter_config.json", "w") as f:
+        json.dump({"r": r, "lora_alpha": 8}, f)
+
+    from llmrankers_tpu.train import lora as lora_mod
+
+    adapter, lcfg = lora_mod.load_peft_adapter(str(tmp_path), params)
+    assert lcfg.r == 4 and lcfg.alpha == 8
+    assert set(adapter.keys()) == {"wq", "wv"}
+    assert adapter["wq"]["a"].shape == (L, D, r)
+    assert adapter["wq"]["b"].shape == (L, r, H * Dh)
+    # merge equals manual delta on layer 0
+    merged = lora_mod.merge(params, adapter, lcfg)
+    a0 = sd["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"]
+    b0 = sd["base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight"]
+    want = np.asarray(params["layers"]["wq"][0]) + (8 / 4) * (a0.T @ b0.T)
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["wq"][0]), want, rtol=1e-5, atol=1e-5
+    )
