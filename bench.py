@@ -60,13 +60,13 @@ def main():
     params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
 
-    N_QUERIES, N_DOCS = 43, 100
+    N_QUERIES, N_DOCS = 64, 100
     queries, rankings = build_workload(N_QUERIES, N_DOCS, 128, 16)
 
     # ---- batched path ----------------------------------------------------
     engine = ScoringEngine(
         "t5", cfg, params, tok,
-        len_buckets=(512, 1024), batch_buckets=(16, 64, 256),
+        len_buckets=(512, 640, 1024), batch_buckets=(16, 64, 256),
     )
     ranker = SetwiseLlmRanker(
         engine, num_child=2, k=10, scoring="likelihood", method="heapsort"
@@ -80,7 +80,7 @@ def main():
 
     # ---- reference-style path (batch-1, sequential) ----------------------
     seq_engine = ScoringEngine(
-        "t5", cfg, params, tok, len_buckets=(512, 1024), batch_buckets=(1,),
+        "t5", cfg, params, tok, len_buckets=(512, 640, 1024), batch_buckets=(1,),
     )
     seq_ranker = SetwiseLlmRanker(
         seq_engine, num_child=2, k=10, scoring="likelihood", method="heapsort",

@@ -65,6 +65,8 @@ def build_parsers():
     run_p.add_argument("--dtype", type=str, default="bfloat16",
                        choices=["bfloat16", "float32"])
     run_p.add_argument("--event_log", type=str, default=None)
+    run_p.add_argument("--profile_dir", type=str, default=None,
+                       help="capture a jax.profiler device trace here")
     run_p.add_argument("--seed", type=int, default=929)
 
     pw = commands.add_parser("pointwise")
@@ -333,12 +335,15 @@ def main(args) -> None:
         elif args.run.shuffle_ranking is not None:
             raise ValueError(f"Invalid shuffle: {args.run.shuffle_ranking}")
 
+    from ..utils.profiling import trace
+
     report = MeterReport()
     log = EventLog(args.run.event_log)
     tic = time.time()
-    results = ranker.rerank_many(
-        [q for _, q, _ in first_stage], [r for _, _, r in first_stage]
-    )
+    with trace(args.run.profile_dir):
+        results = ranker.rerank_many(
+            [q for _, q, _ in first_stage], [r for _, _, r in first_stage]
+        )
     report.wall_s = time.time() - tic
 
     with RunWriter(args.run.save_path, "LLMRankers", append=args.run.resume) as w:

@@ -35,8 +35,10 @@ from ..parallel import mesh as mesh_mod
 from . import generate as gen_mod
 from .tokenizer import Tokenizer
 
-DEFAULT_LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
-DEFAULT_BATCH_BUCKETS = (8, 32, 128, 512)
+# Finer length granularity pays: the benchmark's ~600-token setwise
+# prompts ran 2x faster in a 640 bucket than spilling into 1024.
+DEFAULT_LEN_BUCKETS = (64, 128, 256, 384, 512, 640, 768, 1024, 1536, 2048, 4096)
+DEFAULT_BATCH_BUCKETS = (8, 32, 64, 128, 256, 512)
 
 
 def _bucket(n: int, ladder: Sequence[int]) -> int:

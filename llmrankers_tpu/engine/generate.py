@@ -244,13 +244,20 @@ def decoder_greedy_decode(
             k = apply_rope(k[:, :, None, :], cos, sin)[:, :, 0, :]
             kcl = jax.lax.dynamic_update_slice(kcl, k[:, :, None, :], (0, 0, L + t, 0))
             vcl = jax.lax.dynamic_update_slice(vcl, v[:, :, None, :], (0, 0, L + t, 0))
-            kf = jnp.repeat(kcl, H // KV, axis=1)  # [B, H, T, Dh]
-            vf = jnp.repeat(vcl, H // KV, axis=1)
-            s = jnp.einsum("bhd,bhtd->bht", q, kf, preferred_element_type=jnp.float32)
+            # Grouped-query attention against the cache without
+            # materializing repeated K/V ([B,H,T,Dh] would be re-written
+            # to HBM every step).
+            G = H // KV
+            qg = q.reshape(B, KV, G, Dh)
+            s = jnp.einsum(
+                "bkgd,bktd->bkgt", qg, kcl, preferred_element_type=jnp.float32
+            )
             s = s * (Dh**-0.5)
-            s = jnp.where(kmask[:, None, :], s, NEG_INF)
+            s = jnp.where(kmask[:, None, None, :], s, NEG_INF)
             p = jax.nn.softmax(s, axis=-1).astype(dtype)
-            a = jnp.einsum("bht,bhtd->bhd", p, vf, preferred_element_type=jnp.float32)
+            a = jnp.einsum(
+                "bkgt,bktd->bkgd", p, vcl, preferred_element_type=jnp.float32
+            )
             h = h + a.astype(dtype).reshape(B, H * Dh) @ lp["wo"]
             hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
             f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]

@@ -37,6 +37,23 @@ class Tokenizer:
         raise NotImplementedError
 
 
+VICUNA_CHAT_TEMPLATE = (
+    "{% if messages[0]['role'] == 'system' %}{% set loop_messages = messages[1:] %}"
+    "{% set system_message = messages[0]['content'] %}{% else %}"
+    "{% set loop_messages = messages %}{% set system_message = 'A chat between a "
+    "curious user and an artificial intelligence assistant. The assistant gives "
+    "helpful, detailed, and polite answers to the user\\'s questions.' %}{% endif %}"
+    "{% for message in loop_messages %}"
+    "{% if (message['role'] == 'user') != (loop.index0 % 2 == 0) %}"
+    "{{ raise_exception('Conversation roles must alternate user/assistant/...') }}"
+    "{% endif %}{% if loop.index0 == 0 %}{{ system_message }}{% endif %}"
+    "{% if message['role'] == 'user' %}{{ ' USER: ' + message['content'].strip() }}"
+    "{% elif message['role'] == 'assistant' %}"
+    "{{ ' ASSISTANT: ' + message['content'].strip() + eos_token }}{% endif %}"
+    "{% endfor %}{% if add_generation_prompt %}{{ ' ASSISTANT:' }}{% endif %}"
+)
+
+
 class HFTokenizer(Tokenizer):
     """Wraps a local HF tokenizer directory (no network)."""
 
@@ -44,6 +61,10 @@ class HFTokenizer(Tokenizer):
         from transformers import AutoTokenizer
 
         self.tk = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        # Vicuna v1.5 ships no chat template; the reference installs one
+        # (setwise.py:64-68).
+        if "vicuna" in path and "v1.5" in path:
+            self.tk.chat_template = VICUNA_CHAT_TEMPLATE
         self.pad_id = self.tk.pad_token_id if self.tk.pad_token_id is not None else 0
         self.eos_id = self.tk.eos_token_id if self.tk.eos_token_id is not None else 1
         self.vocab_size = len(self.tk)

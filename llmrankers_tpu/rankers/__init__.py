@@ -1,6 +1,7 @@
 from .listwise import ListwiseLlmRanker
 from .pairwise import DuoT5LlmRanker, PairwiseLlmRanker
 from .pointwise import MonoT5LlmRanker, PointwiseLlmRanker
+from .rank_r1 import RankR1ListwiseLlmRanker, RankR1SetwiseLlmRanker
 from .setwise import SetwiseLlmRanker
 
 __all__ = [
@@ -9,5 +10,7 @@ __all__ = [
     "MonoT5LlmRanker",
     "PairwiseLlmRanker",
     "PointwiseLlmRanker",
+    "RankR1ListwiseLlmRanker",
+    "RankR1SetwiseLlmRanker",
     "SetwiseLlmRanker",
 ]
