@@ -228,14 +228,17 @@ class ScoringEngine:
         """Greedy generation; returns (decoded completions, per-row new
         token counts up to and including EOS).
 
-        ``stop_strings`` truncate the decoded host-side text (the device
-        loop stops rows on EOS only); ``chunk_tokens`` bounds wasted decode
-        compute for long Rank-R1 completions by checking stops between
-        fixed-size chunks (not yet chunked in v1 — full-length scan).
+        ``stop_strings`` truncate the decoded host-side text; long
+        decoder-only generations run in chunks of ``chunk_tokens`` with a
+        host stop-string check between chunks, so a 2048-token Rank-R1
+        budget stops as soon as every row has emitted "</answer>"
+        (SURVEY.md §7 hard part #3).
         """
         results: List[str] = [""] * len(prompt_rows)
         ntokens: List[int] = [0] * len(prompt_rows)
         prefix = tuple(int(x) for x in decoder_prefix)
+        if chunk_tokens is None and max_new_tokens >= 512 and self.kind != "t5":
+            chunk_tokens = 256
         for off, chunk in self._chunks(prompt_rows):
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
@@ -243,6 +246,11 @@ class ScoringEngine:
                 ids, mask, n, B = self._pad_batch(chunk)
                 fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
                 toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
+            elif chunk_tokens and chunk_tokens < max_new_tokens:
+                ids, mask, n, B = self._pad_batch_left(chunk)
+                toks = self._generate_chunked(
+                    ids, mask, n, max_new_tokens, chunk_tokens, stop_strings
+                )
             else:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
@@ -265,6 +273,64 @@ class ScoringEngine:
                         text = text[: cut + len(s)]
                 results[off + i] = text
         return results, ntokens
+
+    def _generate_chunked(
+        self,
+        ids: np.ndarray,
+        mask: np.ndarray,
+        n: int,
+        max_new_tokens: int,
+        chunk_tokens: int,
+        stop_strings: Sequence[str],
+    ) -> np.ndarray:
+        """Prefill once, then decode in fixed-size chunks; between chunks
+        the host decodes each live row and freezes rows whose text already
+        contains a stop string (or EOS)."""
+        B, L = ids.shape
+        prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
+        chunk_fn = self._get_jit("dec_chunk", ids.shape, L, chunk_tokens)
+        tok, cache = prefill(self.params, *self._put(ids, mask))
+        done = jnp.zeros((B,), bool)
+        pieces: List[np.ndarray] = []
+        offset = 0
+        eos = self.tokenizer.eos_id
+        while offset < max_new_tokens:
+            steps = min(chunk_tokens, max_new_tokens - offset)
+            if steps < chunk_tokens:
+                chunk_fn = self._get_jit("dec_chunk", ids.shape, L, steps)
+            out, tok, cache, done = chunk_fn(
+                self.params, tok, cache, jnp.int32(offset), done
+            )
+            pieces.append(np.asarray(out))
+            offset += steps
+            if offset >= max_new_tokens:
+                break
+            # Host-side stop check on the live rows.
+            acc = np.concatenate(pieces, axis=1)
+            done_h = np.asarray(done)
+            newly = list(done_h)
+            for i in range(n):
+                if done_h[i]:
+                    continue
+                row = acc[i].tolist()
+                if eos in row:
+                    newly[i] = True
+                    continue
+                text = self.tokenizer.decode(row, skip_special_tokens=True)
+                if any(s in text for s in stop_strings):
+                    newly[i] = True
+            for i in range(n, B):
+                newly[i] = True  # padding rows
+            if all(newly):
+                break
+            done = jnp.asarray(np.asarray(newly, bool))
+        out = np.concatenate(pieces, axis=1)
+        if out.shape[1] < max_new_tokens:
+            out = np.pad(
+                out, ((0, 0), (0, max_new_tokens - out.shape[1])),
+                constant_values=self.tokenizer.pad_id,
+            )
+        return out[:n]
 
     # ------------------------------------------------------------------
     # jit builders
@@ -333,4 +399,24 @@ class ScoringEngine:
                 )
 
             return jax.jit(fn)
+        if name == "dec_prefill":
+            _, max_new = key
+
+            def fn(params, ids, mask):
+                logits, cache = gen_mod.decoder_prefill(params, cfg, ids, mask, max_new)
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return first, cache
+
+            return jax.jit(fn)
+        if name == "dec_chunk":
+            _, prompt_len, steps = key
+
+            def fn(params, tok, cache, offset, done):
+                out, (tok2, cache2, done2) = gen_mod.decoder_decode_chunk(
+                    params, cfg, tok, cache, prompt_len, offset, steps,
+                    cfg.eos_token_id, done=done,
+                )
+                return out, tok2, cache2, done2
+
+            return jax.jit(fn, donate_argnums=(2,))
         raise KeyError(name)

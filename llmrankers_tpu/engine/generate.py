@@ -211,15 +211,43 @@ def decoder_greedy_decode(
     """Continue generation; returns [B, max_new_tokens] including the
     first token (pad after EOS). temperature > 0 samples categorically
     (GRPO rollouts, train_grpo_v0.2.py:70 temperature=1.2); 0 = greedy."""
+    out, _state = decoder_decode_chunk(
+        params, cfg, first_token, cache, prompt_len, 0, max_new_tokens,
+        eos_id, done=None, temperature=temperature, rng=rng,
+    )
+    return out
+
+
+def decoder_decode_chunk(
+    params,
+    cfg: DecoderConfig,
+    first_token: jax.Array,  # [B] next token to consume
+    cache,
+    prompt_len: int,
+    offset,  # int or traced scalar: tokens already generated before this chunk
+    steps: int,
+    eos_id: int,
+    done: Optional[jax.Array] = None,  # [B] rows frozen by the host
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+):
+    """Generate ``steps`` tokens starting at cache position
+    prompt_len + offset. Returns (tokens [B, steps],
+    (next_token, cache, done)) so the host can stitch chunks together and
+    stop early on multi-token stop strings (the Rank-R1 "</answer>" case,
+    SURVEY.md §7 hard part #3)."""
     k_cache, v_cache, key_mask, next_pos = cache
     B = first_token.shape[0]
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     T = k_cache.shape[3]
     dtype = params["embed"].dtype
     L = prompt_len
+    if done is None:
+        done = jnp.zeros((B,), bool)
 
-    def step(carry, t):
+    def step(carry, i):
         tok, kc, vc, kmask, pos, done = carry
+        t = offset + i
         # write position in the cache is L + t (append after the prompt);
         # RoPE position is per-row `pos`.
         x = params["embed"][tok]  # [B, D]
@@ -278,13 +306,8 @@ def decoder_greedy_decode(
         nxt = jnp.where(done, tok, nxt)
         return (nxt, kc, vc, kmask, pos + 1, done), out
 
-    init = (
-        first_token,
-        k_cache,
-        v_cache,
-        key_mask,
-        next_pos,
-        jnp.zeros((B,), bool),
+    init = (first_token, k_cache, v_cache, key_mask, next_pos, done)
+    (tok, kc, vc, kmask, pos, done), outs = jax.lax.scan(
+        step, init, jnp.arange(steps)
     )
-    _, outs = jax.lax.scan(step, init, jnp.arange(max_new_tokens))
-    return outs.T  # [B, max_new_tokens]
+    return outs.T, (tok, (kc, vc, kmask, pos), done)  # [B, steps], state

@@ -175,3 +175,30 @@ def test_rank_r1_extraction_and_vote(tmp_path):
     want = [f"d{i}" for i in np.argsort(vals)[::-1][:3]]
     assert [d.docid for d in out[:3]] == want
     assert r.total_compare % 3 == 0
+
+
+def test_cli_generation_scoring(tmp_path):
+    """The default --scoring generation path end-to-end through the CLI
+    (drives the T5 greedy-decode scan)."""
+    corpus, run, queries = make_fixture(tmp_path, n_queries=2, n_docs=6)
+    save = tmp_path / "gen.trec"
+    cmd = [
+        sys.executable, "-c",
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['run'] + sys.argv[1:];"
+        "from llmrankers_tpu.cli.run import parse_args, main;"
+        "main(parse_args())",
+        "run", "--model_name_or_path", "random:t5-tiny",
+        "--run_path", str(run), "--save_path", str(save),
+        "--query_file", str(queries), "--corpus_file", str(corpus),
+        "--hits", "6", "--scoring", "generation", "--dtype", "float32",
+        "setwise", "--num_child", "2", "--k", "3",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(tmp_path), timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    groups = trec.read_run(str(save))
+    assert len(groups) == 2 and all(len(g[1]) == 6 for g in groups)
+    assert "Avg completion tokens:" in res.stdout

@@ -282,3 +282,31 @@ def test_decoder_generate_real(dec_engine):
     )
     assert len(texts) == 1 and len(ntoks) == 1
     assert ntoks[0] <= 4
+
+
+def test_engine_on_tp_mesh():
+    """Scoring engine with a real (data, model) mesh: TP-sharded params +
+    batch-sharded inputs produce the same scores as single-device."""
+    import jax
+    from llmrankers_tpu.engine.engine import ScoringEngine
+    from llmrankers_tpu.models.config import T5Config
+    from llmrankers_tpu.models import t5 as t5_mod
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    cfg = T5Config.tiny()
+    params = t5_mod.init_params(cfg, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(cfg.vocab_size)
+    single = ScoringEngine("t5", cfg, params, tok,
+                           len_buckets=(128,), batch_buckets=(8,))
+    mesh = mesh_mod.make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = ScoringEngine("t5", cfg, params, tok, mesh=mesh,
+                            len_buckets=(128,), batch_buckets=(8,))
+    rows = [tok.encode(f"passage number {i}") for i in range(6)]
+    labels = [10, 11, 12]
+    a = single.score_labels(rows, labels, [0, 5])
+    b = sharded.score_labels(rows, labels, [0, 5])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+    r = SetwiseLlmRanker(sharded, num_child=2, k=3, scoring="likelihood")
+    out = r.rerank("q", _tiny_ranking())
+    assert len(out) == 8
