@@ -340,24 +340,29 @@ def main(args) -> None:
     report = MeterReport()
     log = EventLog(args.run.event_log)
     tic = time.time()
-    with trace(args.run.profile_dir):
-        results = ranker.rerank_many(
-            [q for _, q, _ in first_stage], [r for _, _, r in first_stage]
-        )
-    report.wall_s = time.time() - tic
-
     with RunWriter(args.run.save_path, "LLMRankers", append=args.run.resume) as w:
-        for (qid, query, _), ranking, stats in zip(
-            first_stage, results, ranker.per_query_stats
-        ):
+        # Stream each query's result to disk the moment it completes so a
+        # killed run resumes at query granularity (run_setwise.py:300-301).
+        def on_result(i, ranking):
+            qid = first_stage[i][0]
             w.write_query(qid, ranking)
-            report.add_query(stats)
+            stats = ranker.per_query_stats[i]
             log.emit(
                 "query_done", qid=qid,
                 comparisons=stats.comparisons,
                 prompt_tokens=stats.prompt_tokens,
                 completion_tokens=stats.completion_tokens,
             )
+
+        with trace(args.run.profile_dir):
+            ranker.rerank_many(
+                [q for _, q, _ in first_stage],
+                [r for _, _, r in first_stage],
+                on_result=on_result,
+            )
+        report.wall_s = time.time() - tic
+        for stats in ranker.per_query_stats:
+            report.add_query(stats)
     report.print_summary()
     log.emit("run_done", **report.summary())
     log.close()

@@ -33,13 +33,26 @@ class EngineRanker(LlmRanker):
         raise NotImplementedError
 
     def rerank_many(
-        self, queries: Sequence[str], rankings: Sequence[List[SearchResult]]
+        self,
+        queries: Sequence[str],
+        rankings: Sequence[List[SearchResult]],
+        on_result: Optional[Callable[[int, List[SearchResult]], None]] = None,
     ) -> List[List[SearchResult]]:
+        """``on_result(i, reranked)`` fires as soon as query i's coroutine
+        finishes — the driver streams results to disk at query granularity
+        (crash-safe resume, run_setwise.py:300-301 semantics)."""
         self._query_stats = [RerankStats() for _ in queries]
         runner = WaveRunner(self._compare_batch, self.max_wave_size)
+
+        async def one(i, q, r):
+            res = await self._rerank_one(runner, i, q, r)
+            if on_result is not None:
+                on_result(i, res)
+            return res
+
         results = runner.run(
             [
-                self._rerank_one(runner, i, q, copy.deepcopy(list(r)))
+                one(i, q, copy.deepcopy(list(r)))
                 for i, (q, r) in enumerate(zip(queries, rankings))
             ]
         )

@@ -39,7 +39,7 @@ class PointwiseLlmRanker(EngineRanker):
         self.yes_id = tk.encode("Yes", add_special_tokens=False)[0]
         self.no_id = tk.encode("No", add_special_tokens=False)[0]
 
-    def rerank_many(self, queries, rankings):
+    def rerank_many(self, queries, rankings, on_result=None):
         self._query_stats = [RerankStats() for _ in queries]
         rows: List[List[int]] = []
         row_q: List[int] = []
@@ -73,13 +73,16 @@ class PointwiseLlmRanker(EngineRanker):
 
         out: List[List[SearchResult]] = []
         pos = 0
-        for ranking in rankings:
+        for qi, ranking in enumerate(rankings):
             scored = [
                 SearchResult(docid=d.docid, score=float(scores[pos + j]), text=d.text)
                 for j, d in enumerate(ranking)
             ]
             pos += len(ranking)
-            out.append(sorted(scored, key=lambda x: x.score, reverse=True))
+            ranked = sorted(scored, key=lambda x: x.score, reverse=True)
+            out.append(ranked)
+            if on_result is not None:
+                on_result(qi, ranked)
         total = RerankStats()
         for s in self._query_stats:
             total.add(s)
@@ -97,7 +100,7 @@ class MonoT5LlmRanker(PointwiseLlmRanker):
         self.false_id = tk.encode("false", add_special_tokens=False)[0]
         self.true_id = tk.encode("true", add_special_tokens=False)[0]
 
-    def rerank_many(self, queries, rankings):
+    def rerank_many(self, queries, rankings, on_result=None):
         self._query_stats = [RerankStats() for _ in queries]
         rows: List[List[int]] = []
         for qi, (query, ranking) in enumerate(zip(queries, rankings)):
@@ -115,13 +118,16 @@ class MonoT5LlmRanker(PointwiseLlmRanker):
         scores = e[:, 1] / e.sum(axis=1)  # P(true)
         out: List[List[SearchResult]] = []
         pos = 0
-        for ranking in rankings:
+        for qi, ranking in enumerate(rankings):
             scored = [
                 SearchResult(docid=d.docid, score=float(scores[pos + j]), text=d.text)
                 for j, d in enumerate(ranking)
             ]
             pos += len(ranking)
-            out.append(sorted(scored, key=lambda x: x.score, reverse=True))
+            ranked = sorted(scored, key=lambda x: x.score, reverse=True)
+            out.append(ranked)
+            if on_result is not None:
+                on_result(qi, ranked)
         total = RerankStats()
         for s in self._query_stats:
             total.add(s)

@@ -84,14 +84,22 @@ class LlmRanker:
         raise NotImplementedError
 
     def rerank_many(
-        self, queries: Sequence[str], rankings: Sequence[List[SearchResult]]
+        self,
+        queries: Sequence[str],
+        rankings: Sequence[List[SearchResult]],
+        on_result=None,
     ) -> List[List[SearchResult]]:
-        """Rerank a batch of queries. Default: loop (override for batching)."""
+        """Rerank a batch of queries. Default: loop (override for batching).
+        ``on_result(i, reranked)`` streams completions for crash-safe
+        drivers."""
         out = []
         agg = RerankStats()
-        for q, r in zip(queries, rankings):
-            out.append(self.rerank(q, r))
+        for i, (q, r) in enumerate(zip(queries, rankings)):
+            res = self.rerank(q, r)
+            out.append(res)
             agg.add(self.stats)
+            if on_result is not None:
+                on_result(i, res)
         self.stats = agg
         return out
 

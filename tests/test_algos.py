@@ -350,3 +350,31 @@ def test_max_batch_size_split():
     )[0]
     assert got == oracle_setwise_heapsort(arr, 10, 2, pick)
     assert max(log) <= 4
+
+
+def test_heapsort_comparison_count_parity():
+    """The efficiency meters are the Setwise paper's headline claim — the
+    wave-batched heapsort must issue exactly the comparisons the
+    reference's sequential heapsort issues."""
+    for n, c, k in [(100, 2, 10), (100, 9, 10), (50, 3, 5)]:
+        arr = random.Random(n).sample(range(10000), n)
+        count_oracle = 0
+
+        def pick_count(docs):
+            nonlocal count_oracle
+            count_oracle += 1
+            return max(range(len(docs)), key=lambda i: docs[i])
+
+        oracle_setwise_heapsort(arr, k, c, pick_count)
+
+        pick = make_set_pick()
+        count_ours = 0
+
+        def batch(reqs):
+            nonlocal count_ours
+            count_ours += len(reqs)
+            return [pick(r) for r in reqs]
+
+        runner = WaveRunner(batch)
+        runner.run([setwise_sort.heapsort(runner, list(arr), k, c, pick_async(runner))])
+        assert count_ours == count_oracle, (n, c, k, count_ours, count_oracle)
