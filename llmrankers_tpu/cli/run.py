@@ -248,6 +248,16 @@ def make_ranker(args, engine):
             return DuoT5LlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k)
         return PairwiseLlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k)
     if args.listwise:
+        if args.listwise.prompt_file:
+            from ..rankers.rank_r1 import RankR1ListwiseLlmRanker
+
+            return RankR1ListwiseLlmRanker(
+                engine,
+                prompt_file=args.listwise.prompt_file,
+                window_size=args.listwise.window_size,
+                step_size=args.listwise.step_size,
+                num_repeat=args.listwise.num_repeat,
+            )
         return ListwiseLlmRanker(
             engine,
             window_size=args.listwise.window_size,

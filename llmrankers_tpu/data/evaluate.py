@@ -3,10 +3,15 @@
 The reference delegates metric computation to Lucene's trec_eval via
 pyserini (`python -m pyserini.eval.trec_eval -c -l 2 -m ndcg_cut.10`,
 README.md:75-80) — unavailable offline, so the metrics are implemented
-here. nDCG matches trec_eval's ndcg_cut semantics: graded gains rel_i,
-log2 discounts, ideal from the full qrels; ``min_rel`` reproduces the
-``-l 2`` relevance threshold for the binary metrics (nDCG always uses
-raw graded gains, as trec_eval does).
+here with trec_eval's exact semantics:
+  * ndcg_cut: LINEAR gain rel_i with the Jarvelin discount
+    (rank 1 undiscounted, rank i >= 2 divided by log2(i)); ideal from
+    the full qrels;
+  * ``-c``: averages run over ALL judged queries — a query missing from
+    the run scores 0 (the default here; ``judged_only=True`` restricts
+    to queries present in the run);
+  * ``min_rel`` reproduces the ``-l 2`` threshold for the binary
+    metrics (nDCG always uses raw graded gains, as trec_eval does).
 """
 from __future__ import annotations
 
@@ -46,29 +51,42 @@ def run_from_trec(path: str) -> Run:
     }
 
 
-def ndcg_at_k(qrels: Qrels, run: Run, k: int = 10) -> float:
-    """Mean nDCG@k over the qrels' queries (trec_eval averages over
-    judged queries present in the run)."""
+def _discount(rank: int) -> float:
+    """Jarvelin DCG discount used by trec_eval's ndcg_cut: ranks 1-2
+    effectively undiscounted, rank i divided by log2(i)."""
+    return 1.0 if rank <= 1 else math.log2(rank)
+
+
+def ndcg_at_k(
+    qrels: Qrels, run: Run, k: int = 10, judged_only: bool = False
+) -> float:
     total, n = 0.0, 0
     for qid, judged in qrels.items():
         if qid not in run:
+            if not judged_only:
+                n += 1  # trec_eval -c: missing query scores 0
             continue
         dcg = 0.0
         for i, (docid, _) in enumerate(run[qid][:k]):
             rel = judged.get(docid, 0)
             if rel > 0:
-                dcg += (2**rel - 1) / math.log2(i + 2)
+                dcg += rel / _discount(i + 1)
         ideal = sorted(judged.values(), reverse=True)[:k]
-        idcg = sum((2**r - 1) / math.log2(i + 2) for i, r in enumerate(ideal) if r > 0)
+        idcg = sum(r / _discount(i + 1) for i, r in enumerate(ideal) if r > 0)
         total += dcg / idcg if idcg > 0 else 0.0
         n += 1
     return total / n if n else 0.0
 
 
-def mrr_at_k(qrels: Qrels, run: Run, k: int = 10, min_rel: int = 1) -> float:
+def mrr_at_k(
+    qrels: Qrels, run: Run, k: int = 10, min_rel: int = 1,
+    judged_only: bool = False,
+) -> float:
     total, n = 0.0, 0
     for qid, judged in qrels.items():
         if qid not in run:
+            if not judged_only:
+                n += 1
             continue
         rr = 0.0
         for i, (docid, _) in enumerate(run[qid][:k]):
@@ -80,13 +98,18 @@ def mrr_at_k(qrels: Qrels, run: Run, k: int = 10, min_rel: int = 1) -> float:
     return total / n if n else 0.0
 
 
-def recall_at_k(qrels: Qrels, run: Run, k: int = 100, min_rel: int = 1) -> float:
+def recall_at_k(
+    qrels: Qrels, run: Run, k: int = 100, min_rel: int = 1,
+    judged_only: bool = False,
+) -> float:
     total, n = 0.0, 0
     for qid, judged in qrels.items():
-        if qid not in run:
-            continue
         relevant = {d for d, r in judged.items() if r >= min_rel}
         if not relevant:
+            continue
+        if qid not in run:
+            if not judged_only:
+                n += 1
             continue
         got = sum(1 for docid, _ in run[qid][:k] if docid in relevant)
         total += got / len(relevant)

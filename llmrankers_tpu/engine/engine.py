@@ -255,14 +255,19 @@ class ScoringEngine:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
                 toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
+            pad_id = self.tokenizer.pad_id
             for i, row in enumerate(toks):
                 row_l = row.tolist()
                 # Count up to and including EOS (reference counts the
-                # emitted ids, setwise.py:97).
+                # emitted ids, setwise.py:97). Rows frozen early (EOS or a
+                # stop string in the chunked path) trail with pad filler,
+                # which must not count toward the completion meter.
                 try:
                     ntok = row_l.index(self.tokenizer.eos_id) + 1
                 except ValueError:
                     ntok = len(row_l)
+                    while ntok > 0 and row_l[ntok - 1] == pad_id:
+                        ntok -= 1
                 ntokens[off + i] = ntok
                 if stats is not None:
                     stats.completion_tokens += ntok

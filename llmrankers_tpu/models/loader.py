@@ -76,21 +76,12 @@ def _stack(src: TensorSource, fmt: str, n: int, transpose: bool, dtype) -> jnp.n
 def load_t5(src: TensorSource, cfg: T5Config, dtype=jnp.float32) -> Dict[str, Any]:
     """Map HF T5 names (encoder.block.{i}.layer.{j}...) to our pytree."""
 
-    def attn(stack_fmt: str, n: int) -> Dict[str, Any]:
-        return {
-            name: _stack(src, stack_fmt.format(w=w), n, True, dtype)
-            for name, w in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "o"))
-        }
-
     def ffn(prefix: str, n: int) -> Dict[str, Any]:
         base = prefix + ".DenseReluDense.{w}.weight"
-        if cfg.is_gated:
-            names = {"wi_0": "wi_0", "wi_1": "wi_1", "wo": "wo"}
-        else:
-            names = {"wi": "wi", "wo": "wo"}
+        names = ("wi_0", "wi_1", "wo") if cfg.is_gated else ("wi", "wo")
         return {
-            ours: _stack(src, base.replace("{w}", theirs).replace("{p}", ""), n, True, dtype)
-            for ours, theirs in names.items()
+            w: _stack(src, base.replace("{w}", w), n, True, dtype)
+            for w in names
         }
 
     Le, Ld = cfg.num_layers, cfg.num_decoder_layers

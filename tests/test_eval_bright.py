@@ -11,13 +11,18 @@ def test_ndcg_known_values(tmp_path):
     # Perfect ranking -> nDCG 1.
     run = {"q1": [("a", 3.0), ("b", 2.0), ("d", 1.0), ("c", 0.5)]}
     assert evaluate.ndcg_at_k(qrels, run, 10) == pytest.approx(1.0)
-    # Swap the top two: dcg = 3/1 + 7/log2(3) + 1/2
+    # trec_eval ndcg_cut: LINEAR gain, Jarvelin discount (1, 1, log2(3), 2...).
+    # Swapped top two: dcg = 2/1 + 3/1 + 1/log2(3); ideal = 3 + 2 + 1/log2(3).
     run2 = {"q1": [("b", 3.0), ("a", 2.0), ("d", 1.0)]}
-    dcg = 3 / 1 + 7 / math.log2(3) + 1 / 2
-    idcg = 7 / 1 + 3 / math.log2(3) + 1 / 2
+    dcg = 2 / 1 + 3 / 1 + 1 / math.log2(3)
+    idcg = 3 / 1 + 2 / 1 + 1 / math.log2(3)
     assert evaluate.ndcg_at_k(qrels, run2, 10) == pytest.approx(dcg / idcg)
-    # Query absent from run is skipped; unknown run query ignored.
-    assert evaluate.ndcg_at_k(qrels, {"q9": []}, 10) == 0.0
+    # -c semantics: a judged query missing from the run scores 0 and
+    # still counts in the mean.
+    two = {"q1": qrels["q1"], "q2": {"z": 1}}
+    half = evaluate.ndcg_at_k(two, run, 10)
+    assert half == pytest.approx(0.5)
+    assert evaluate.ndcg_at_k(two, run, 10, judged_only=True) == pytest.approx(1.0)
 
 
 def test_mrr_and_recall():
