@@ -139,3 +139,60 @@ async def bubblesort(
             start_ind -= num_child
             end_ind -= num_child
     return ranking
+
+
+async def insertion(
+    runner: WaveRunner,
+    arr: List[Any],
+    k: int,
+    num_child: int,
+    compare: SetCompare,
+    presort: bool = True,
+) -> List[Any]:
+    """Setwise insertion: exploit the first-stage order as a prior
+    (efficiency method beyond the reference, after "Beyond
+    Reproducibility: ... Setwise Insertion", arXiv:2504.10509).
+
+    The provisional top-k is the head of the initial ranking (optionally
+    exact-sorted first). Remaining candidates are screened in groups of
+    ``num_child`` against the current k-th item with ONE setwise
+    comparison: if the k-th item wins, the whole group is pruned; when a
+    candidate wins, it is placed by binary insertion (2-doc setwise
+    comparisons) and the displaced k-th item drops out.
+
+    With a perfect comparator and presort=True this returns the exact
+    top-k in ~k*log(k)/log(c) + (n-k)/c + inserts*log2(k) comparisons —
+    typically 2-3x fewer than heapsort's. presort=False trusts the prior
+    head order entirely (the paper's cheaper variant).
+    """
+    n = len(arr)
+    if n <= k:
+        return await heapsort(runner, list(arr), k, num_child, compare)
+    top = list(arr[:k])
+    if presort:
+        top = await heapsort(runner, top, k, num_child, compare)
+    rest = list(arr[k:])
+
+    async def binary_insert(doc: Any) -> None:
+        lo, hi = 0, len(top) - 1  # doc already beat top[-1]
+        while lo < hi:
+            mid = (lo + hi) // 2
+            best = await compare([doc, top[mid]])
+            if best == 0:
+                hi = mid
+            else:
+                lo = mid + 1
+        top.insert(lo, doc)
+        top.pop()
+
+    i = 0
+    while i < len(rest):
+        group = rest[i : i + num_child]
+        i += len(group)
+        while group:
+            best = await compare([top[-1]] + group)
+            if best <= 0 or best > len(group):
+                break  # current k-th wins (or unparseable): prune group
+            winner = group.pop(best - 1)
+            await binary_insert(winner)
+    return top + [d for d in arr if not any(d is t for t in top)]

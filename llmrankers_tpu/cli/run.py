@@ -82,7 +82,7 @@ def build_parsers():
     sw = commands.add_parser("setwise")
     sw.add_argument("--num_child", type=int, default=3)
     sw.add_argument("--method", type=str, default="heapsort",
-                    choices=["heapsort", "bubblesort"])
+                    choices=["heapsort", "bubblesort", "insertion"])
     sw.add_argument("--k", type=int, default=10)
     sw.add_argument("--num_permutation", type=int, default=1)
     sw.add_argument("--prompt_file", type=str, default=None,

@@ -83,6 +83,12 @@ class SetwiseLlmRanker(EngineRanker):
             ordered = await setwise_sort.bubblesort(
                 runner, list(ranking), self.k, self.num_child, compare
             )
+        elif self.method == "insertion":
+            # Extra method beyond the reference (arXiv:2504.10509): uses
+            # the first-stage order as a prior to prune comparisons.
+            ordered = await setwise_sort.insertion(
+                runner, list(ranking), self.k, self.num_child, compare
+            )
         else:
             raise NotImplementedError(f"Method {self.method} is not implemented.")
         return toppassage_results(ordered, original, self.k)

@@ -43,6 +43,7 @@ class GRPOConfig:
     max_completion_length: int = 256   # reference: 2048/4096 (scaled in tests)
     max_prompt_length: int = 1024
     grad_clip: float = 1.0
+    grad_accum: int = 1                # v0.2 uses 4 (train_grpo_v0.2.py:36)
     lora: lora_mod.LoraConfig = lora_mod.LoraConfig()
 
 
@@ -136,15 +137,17 @@ class GRPOTrainer:
                 metrics["loss"] = total
                 return total, metrics
 
-            def step(lora, opt_state, ids, mask, comp_mask, adv):
+            def grad_fn(lora, ids, mask, comp_mask, adv):
                 (l, metrics), grads = jax.value_and_grad(loss, has_aux=True)(
                     lora, ids, mask, comp_mask, adv
                 )
-                updates, opt_state = self.tx.update(grads, opt_state, lora)
-                lora = optax.apply_updates(lora, updates)
-                return lora, opt_state, metrics
+                return grads, metrics
 
-            self._jit_cache[key] = jax.jit(step, donate_argnums=(0, 1))
+            def apply_fn(lora, opt_state, grads):
+                updates, opt_state = self.tx.update(grads, opt_state, lora)
+                return optax.apply_updates(lora, updates), opt_state
+
+            self._jit_cache[key] = (jax.jit(grad_fn), jax.jit(apply_fn))
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
@@ -200,12 +203,29 @@ class GRPOTrainer:
                 if tok == eos:
                     break
 
-        step = self._loss_fn(L, T)
-        self.lora, self.opt_state, metrics = step(
-            self.lora, self.opt_state,
-            jnp.asarray(full_ids), jnp.asarray(attn),
-            jnp.asarray(comp_valid), jnp.asarray(adv),
-        )
+        grad_fn, apply_fn = self._loss_fn(L, T)
+        # Gradient accumulation over even micro-batches of the rollout
+        # rows (train_grpo_v0.2.py:36 gradient_accumulation_steps=4).
+        n_rows = full_ids.shape[0]
+        accum = max(1, min(cfg.grad_accum, n_rows))
+        while n_rows % accum:
+            accum -= 1
+        micro = n_rows // accum
+        grads_sum = None
+        metrics = {}
+        for a in range(accum):
+            sl = slice(a * micro, (a + 1) * micro)
+            g, metrics = grad_fn(
+                self.lora,
+                jnp.asarray(full_ids[sl]), jnp.asarray(attn[sl]),
+                jnp.asarray(comp_valid[sl]), jnp.asarray(adv[sl]),
+            )
+            grads_sum = g if grads_sum is None else jax.tree.map(
+                jnp.add, grads_sum, g
+            )
+        if accum > 1:
+            grads_sum = jax.tree.map(lambda x: x / accum, grads_sum)
+        self.lora, self.opt_state = apply_fn(self.lora, self.opt_state, grads_sum)
         self.step_idx += 1
         out = {k: float(v) for k, v in metrics.items()}
         out["reward_mean"] = float(rewards.mean())

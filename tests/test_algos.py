@@ -378,3 +378,47 @@ def test_heapsort_comparison_count_parity():
         runner = WaveRunner(batch)
         runner.run([setwise_sort.heapsort(runner, list(arr), k, c, pick_async(runner))])
         assert count_ours == count_oracle, (n, c, k, count_ours, count_oracle)
+
+
+@pytest.mark.parametrize("presort", [True, False])
+def test_setwise_insertion_topk(presort):
+    # Insertion's premise is a CORRELATED prior (the BM25 first stage):
+    # build a mostly-sorted ranking with local noise.
+    rng = random.Random(17)
+    arr = sorted(rng.sample(range(10000), 100), reverse=True)
+    for _ in range(20):  # local perturbations
+        i = rng.randrange(99)
+        arr[i], arr[i + 1] = arr[i + 1], arr[i]
+    pick = make_set_pick()
+    compares = []
+    runner = WaveRunner(batch_fn_counter(pick, compares))
+    got = runner.run(
+        [setwise_sort.insertion(runner, list(arr), 10, 9, pick_async(runner),
+                                presort=presort)]
+    )[0]
+    want = sorted(arr, reverse=True)[:10]
+    if presort:
+        assert got[:10] == want  # exact with a perfect comparator
+    else:
+        # trusting the prior still surfaces the global best
+        assert got[0] == want[0]
+    assert len(got) == 100 and set(got) == set(arr)
+    # Efficiency on a good prior: fewer comparisons than heapsort.
+    n_insertion = sum(compares)
+    compares2 = []
+    runner2 = WaveRunner(batch_fn_counter(pick, compares2))
+    runner2.run([setwise_sort.heapsort(runner2, list(arr), 10, 9,
+                                       pick_async(runner2))])
+    assert n_insertion < sum(compares2), (n_insertion, sum(compares2))
+
+
+def test_setwise_insertion_adversarial_prior():
+    """Inverse prior (worst case): still exact top-k with presort, just
+    with more comparisons."""
+    arr = list(range(100))  # ascending = worst prior for best-first
+    pick = make_set_pick()
+    runner = WaveRunner(lambda reqs: [pick(r) for r in reqs])
+    got = runner.run(
+        [setwise_sort.insertion(runner, list(arr), 5, 4, pick_async(runner))]
+    )[0]
+    assert got[:5] == [99, 98, 97, 96, 95]

@@ -216,3 +216,21 @@ def test_load_peft_adapter_roundtrip(tmp_path, tiny_model):
     np.testing.assert_allclose(
         np.asarray(merged["layers"]["wq"][0]), want, rtol=1e-5, atol=1e-5
     )
+
+
+def test_grpo_grad_accum(tiny_model):
+    cfg, params = tiny_model
+    mesh = mesh_mod.make_mesh(1, 1)
+    tok = ByteTokenizer(cfg.vocab_size)
+    gcfg = GRPOConfig(num_generations=4, max_completion_length=8,
+                      max_prompt_length=64, beta=0.0, grad_accum=4,
+                      lora=lora_mod.LoraConfig(r=2, alpha=4))
+
+    def reward(completions, gts):
+        return [float(i % 2) for i, _ in enumerate(completions)]
+
+    tr = GRPOTrainer(cfg, params, tok, gcfg, mesh, reward_fn=reward)
+    prompts = [[{"role": "user", "content": f"p{i}"}] for i in range(2)]
+    m = tr.train_step(prompts, ["[1]", "[2]"])
+    assert np.isfinite(m["loss"])
+    assert m["reward_std"] > 0  # alternating rewards -> nonzero advantage
