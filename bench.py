@@ -78,6 +78,11 @@ def main():
     batched_s = time.perf_counter() - t0
     batched_dps = N_QUERIES * N_DOCS / batched_s
 
+    # (The 'insertion' method is not benchmarked here: its comparison
+    # savings require a real model judging a correlated first-stage
+    # prior — random weights invert its behavior. See
+    # tests/test_algos.py::test_setwise_insertion_topk.)
+
     # ---- reference-style path (batch-1, sequential) ----------------------
     seq_engine = ScoringEngine(
         "t5", cfg, params, tok, len_buckets=(512, 640, 1024), batch_buckets=(1,),

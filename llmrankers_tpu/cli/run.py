@@ -68,6 +68,9 @@ def build_parsers():
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
     run_p.add_argument("--seed", type=int, default=929)
+    run_p.add_argument("--verbose", action="store_true",
+                       help="log completions (Rank-R1 paths; the reference's "
+                            "commented-out write_log_file, run_setwise.py:26-29)")
 
     pw = commands.add_parser("pointwise")
     pw.add_argument("--method", type=str, default="yes_no", choices=["qlm", "yes_no"])
@@ -233,6 +236,7 @@ def make_ranker(args, engine):
                 method=args.setwise.method,
                 num_permutation=args.setwise.num_permutation,
                 max_completion_tokens=args.setwise.max_completion_tokens,
+                verbose=args.run.verbose,
             )
         return SetwiseLlmRanker(
             engine,

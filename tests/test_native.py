@@ -58,3 +58,36 @@ def test_read_run_uses_native(tmp_path):
     groups = trec.read_run(str(p), hits=3)
     assert len(groups) == 3 and all(len(g[1]) == 3 for g in groups)
     assert groups[0][1][0] == ("d0", 10.0)
+
+
+def test_byte_encode_batch_matches_tokenizer():
+    import ctypes
+
+    from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+
+    lib = native._load()
+    tok = ByteTokenizer()
+    texts = ["hello world", "tëst ☃", "", "x" * 40]
+    blob = b"".join(t.encode("utf-8") for t in texts)
+    offs = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum([len(t.encode("utf-8")) for t in texts], out=offs[1:])
+    B, L = 6, 16
+    ids = np.empty((B, L), np.int32)
+    mask = np.empty((B, L), np.int32)
+    buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
+    lib.byte_encode_batch(
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), native._as_i32p(ids), native._as_i32p(mask),
+        B, L, 1, 0,
+    )
+    for i, t in enumerate(texts):
+        full = tok.encode(t)
+        if len(full) > L:
+            # C contract: truncate bytes but keep EOS inside the budget.
+            want = full[: L - 1] + [tok.eos_id]
+        else:
+            want = full
+        got = [int(x) for x, m in zip(ids[i], mask[i]) if m]
+        assert got == want, (t, got, want)
+    assert mask[4].sum() == 0  # padding row
