@@ -127,16 +127,29 @@ def flash_mha(
     causal: bool = False,
     bias: Optional[jax.Array] = None,  # [1, H, Lq, Lk] (batch-invariant)
     scale: float = 1.0,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 1024,
 ) -> jax.Array:
     B, H, Lq, Dh = q.shape
     Lk = k.shape[2]
     if bias is not None and bias.shape[0] != 1:
         raise ValueError("flash path requires batch-invariant bias")
 
-    tq = min(block_q, max(Lq, 8))
-    tk = min(block_k, max(Lk, 128))
+    def _fit(n: int, cap: int, step: int) -> int:
+        """Largest tile <= cap that divides n (so no sequence padding),
+        falling back to cap. Tiles stay multiples of `step`."""
+        if n <= cap:
+            return max(n, step)
+        for t in range(cap, step - 1, -step):
+            if n % t == 0:
+                return t
+        return cap
+
+    # Tiles that divide the (bucketed) sequence avoid pad tiles entirely —
+    # e.g. a 640-token bucket runs as 2x320 q-tiles over one 640 k-tile
+    # instead of padding to 768.
+    tq = _fit(Lq, block_q, 8)
+    tk = _fit(Lk, block_k, 128) if Lk >= 128 else 128
     # Pad sequence dims to tile multiples and the head dim to the 128-lane
     # tiling (zero columns leave q.k dot products and the V matmul exact;
     # the extra output columns are sliced off). Padded keys are masked via
