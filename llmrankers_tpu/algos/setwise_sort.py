@@ -166,6 +166,8 @@ async def insertion(
     head order entirely (the paper's cheaper variant).
     """
     n = len(arr)
+    if k <= 0:
+        return list(arr)
     if n <= k:
         return await heapsort(runner, list(arr), k, num_child, compare)
     top = list(arr[:k])

@@ -261,6 +261,7 @@ def make_ranker(args, engine):
                 window_size=args.listwise.window_size,
                 step_size=args.listwise.step_size,
                 num_repeat=args.listwise.num_repeat,
+                verbose=args.run.verbose,
             )
         return ListwiseLlmRanker(
             engine,

@@ -255,7 +255,9 @@ class ScoringEngine:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
                 toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
-            pad_id = self.tokenizer.pad_id
+            # The device fills frozen rows with cfg.pad_token_id (which can
+            # differ from the tokenizer's pad, e.g. Qwen2); strip both.
+            pad_ids = {self.tokenizer.pad_id, int(self.cfg.pad_token_id)}
             for i, row in enumerate(toks):
                 row_l = row.tolist()
                 # Count up to and including EOS (reference counts the
@@ -266,7 +268,7 @@ class ScoringEngine:
                     ntok = row_l.index(self.tokenizer.eos_id) + 1
                 except ValueError:
                     ntok = len(row_l)
-                    while ntok > 0 and row_l[ntok - 1] == pad_id:
+                    while ntok > 0 and row_l[ntok - 1] in pad_ids:
                         ntok -= 1
                 ntokens[off + i] = ntok
                 if stats is not None:

@@ -147,8 +147,13 @@ def flash_mha(
 
     # Tiles that divide the (bucketed) sequence avoid pad tiles entirely —
     # e.g. a 640-token bucket runs as 2x320 q-tiles over one 640 k-tile
-    # instead of padding to 768.
-    tq = _fit(Lq, block_q, 8)
+    # instead of padding to 768. Bound tq so the per-program VMEM
+    # footprint (fp32 scores [tq, Lk] + bias tile) stays well under the
+    # ~16MB budget at the long buckets (2k/4k listwise prompts).
+    cap_q = block_q
+    while cap_q > 64 and cap_q * max(Lk, 128) > 2**20:
+        cap_q //= 2
+    tq = _fit(Lq, cap_q, 8)
     tk = _fit(Lk, block_k, 128) if Lk >= 128 else 128
     # Pad sequence dims to tile multiples and the head dim to the 128-lane
     # tiling (zero columns leave q.k dot products and the V matmul exact;

@@ -136,8 +136,16 @@ class OpenAiSetwiseLlmRanker(_ApiRankerBase):
         async def compare(docs):
             return await runner.compare((qidx, query, docs))
 
-        algo = setwise_sort.heapsort if self.method == "heapsort" else setwise_sort.bubblesort
-        ordered = await algo(runner, list(ranking), self.k, self.num_child, compare)
+        algos = {
+            "heapsort": setwise_sort.heapsort,
+            "bubblesort": setwise_sort.bubblesort,
+            "insertion": setwise_sort.insertion,
+        }
+        if self.method not in algos:
+            raise NotImplementedError(f"Method {self.method} is not implemented.")
+        ordered = await algos[self.method](
+            runner, list(ranking), self.k, self.num_child, compare
+        )
         return toppassage_results(ordered, original, self.k)
 
     def _compare_batch(self, requests):

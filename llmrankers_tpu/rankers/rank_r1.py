@@ -76,6 +76,10 @@ class RankR1SetwiseLlmRanker(EngineRanker):
             ordered = await setwise_sort.bubblesort(
                 runner, list(ranking), self.k, self.num_child, compare
             )
+        elif self.method == "insertion":
+            ordered = await setwise_sort.insertion(
+                runner, list(ranking), self.k, self.num_child, compare
+            )
         else:
             raise NotImplementedError(f"Method {self.method} is not implemented.")
         return toppassage_results(ordered, original, self.k)
@@ -170,6 +174,7 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         step_size: int = 10,
         num_repeat: int = 1,
         max_completion_tokens: int = 2048,
+        verbose: bool = False,
         max_wave_size: Optional[int] = None,
     ):
         super().__init__(engine, max_wave_size)
@@ -181,6 +186,7 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         self.step_size = step_size
         self.num_repeat = num_repeat
         self.max_completion_tokens = max_completion_tokens
+        self.verbose = verbose
 
     async def _rerank_one(self, runner, qidx, query, ranking):
         from ..algos import listwise_window
@@ -216,6 +222,8 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         out = []
         for r, text, nt in zip(requests, texts, ntoks):
             self._query_stats[r.qidx].completion_tokens += nt
+            if self.verbose:
+                print(f"--- completion for q={r.query!r}:\n{text}\n---")
             m = re.search(pattern, text.lower(), re.DOTALL)
             if m:
                 out.append(m.group(1).strip())

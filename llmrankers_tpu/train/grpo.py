@@ -147,7 +147,10 @@ class GRPOTrainer:
                 updates, opt_state = self.tx.update(grads, opt_state, lora)
                 return optax.apply_updates(lora, updates), opt_state
 
-            self._jit_cache[key] = (jax.jit(grad_fn), jax.jit(apply_fn))
+            self._jit_cache[key] = (
+                jax.jit(grad_fn),
+                jax.jit(apply_fn, donate_argnums=(0, 1, 2)),
+            )
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
@@ -212,17 +215,20 @@ class GRPOTrainer:
             accum -= 1
         micro = n_rows // accum
         grads_sum = None
-        metrics = {}
+        metric_sums: Dict[str, float] = {}
         for a in range(accum):
             sl = slice(a * micro, (a + 1) * micro)
-            g, metrics = grad_fn(
+            g, m = grad_fn(
                 self.lora,
                 jnp.asarray(full_ids[sl]), jnp.asarray(attn[sl]),
                 jnp.asarray(comp_valid[sl]), jnp.asarray(adv[sl]),
             )
+            for key_, v in m.items():
+                metric_sums[key_] = metric_sums.get(key_, 0.0) + float(v)
             grads_sum = g if grads_sum is None else jax.tree.map(
                 jnp.add, grads_sum, g
             )
+        metrics = {key_: v / accum for key_, v in metric_sums.items()}
         if accum > 1:
             grads_sum = jax.tree.map(lambda x: x / accum, grads_sum)
         self.lora, self.opt_state = apply_fn(self.lora, self.opt_state, grads_sum)
