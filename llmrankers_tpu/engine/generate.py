@@ -156,9 +156,6 @@ def decoder_prefill(
     x = params["embed"][input_ids]
     pos = dec_mod.positions_from_mask(attn_mask)
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
-    causal = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None])[None, None]
-    pad = attn_mask.astype(bool)[:, None, None, :]
-    mask = jnp.logical_and(causal, pad)
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
@@ -179,7 +176,9 @@ def decoder_prefill(
         vf = jnp.repeat(v, H // KV, axis=1)
         from ..ops.attention import mha
 
-        a = mha(q, kf, vf, mask=mask, scale=Dh**-0.5)
+        # Structural masks so prefill rides the flash kernel on TPU.
+        a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
+                use_flash=cfg.use_flash)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + a @ lp["wo"]
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
