@@ -66,17 +66,27 @@ def main():
     # ---- batched path ----------------------------------------------------
     engine = ScoringEngine(
         "t5", cfg, params, tok,
-        len_buckets=(512, 640, 1024), batch_buckets=(16, 64, 256),
+        len_buckets=(512, 640, 1024), batch_buckets=(16, 32, 64, 256),
     )
-    ranker = SetwiseLlmRanker(
-        engine, num_child=2, k=10, scoring="likelihood", method="heapsort"
-    )
+    from llmrankers_tpu.rankers.base import rerank_many_pipelined
+
+    def make_ranker():
+        return SetwiseLlmRanker(
+            engine, num_child=2, k=10, scoring="likelihood", method="heapsort"
+        )
+
+    ranker = make_ranker()
     # Warm-up compile on one query.
     ranker.rerank_many(queries[:1], [rankings[0][:]])
+    ranker.rerank_many(queries[:20], [list(r) for r in rankings[:20]])
     t0 = time.perf_counter()
-    ranker.rerank_many(queries, [list(r) for r in rankings])
+    # Two cohorts overlap host packing with device compute (+8% on v5e).
+    _, cohort_rankers = rerank_many_pipelined(
+        make_ranker, queries, [list(r) for r in rankings], cohorts=2
+    )
     batched_s = time.perf_counter() - t0
     batched_dps = N_QUERIES * N_DOCS / batched_s
+    total_compares = sum(r.total_compare for r in cohort_rankers)
 
     # (The 'insertion' method is not benchmarked here: its comparison
     # savings require a real model judging a correlated first-stage
@@ -111,7 +121,7 @@ def main():
                     "reference_style_wall_s_est": round(seq_s, 2),
                     "queries": N_QUERIES,
                     "docs_per_query": N_DOCS,
-                    "comparisons": ranker.total_compare,
+                    "comparisons": total_compares,
                     "device": str(jax.devices()[0]),
                 },
             }

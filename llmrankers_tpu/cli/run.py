@@ -68,6 +68,9 @@ def build_parsers():
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
     run_p.add_argument("--seed", type=int, default=929)
+    run_p.add_argument("--cohorts", type=int, default=1,
+                       help="parallel rerank cohorts sharing the engine "
+                            "(2 overlaps host work with device compute)")
     run_p.add_argument("--verbose", action="store_true",
                        help="log completions (Rank-R1 paths; the reference's "
                             "commented-out write_log_file, run_setwise.py:26-29)")
@@ -350,34 +353,40 @@ def main(args) -> None:
         elif args.run.shuffle_ranking is not None:
             raise ValueError(f"Invalid shuffle: {args.run.shuffle_ranking}")
 
+    import threading
+
+    from ..rankers.base import rerank_many_pipelined
     from ..utils.profiling import trace
 
     report = MeterReport()
     log = EventLog(args.run.event_log)
+    write_lock = threading.Lock()
     tic = time.time()
     with RunWriter(args.run.save_path, "LLMRankers", append=args.run.resume) as w:
         # Stream each query's result to disk the moment it completes so a
         # killed run resumes at query granularity (run_setwise.py:300-301).
         def on_result(i, ranking):
             qid = first_stage[i][0]
-            w.write_query(qid, ranking)
-            stats = ranker.per_query_stats[i]
-            log.emit(
-                "query_done", qid=qid,
-                comparisons=stats.comparisons,
-                prompt_tokens=stats.prompt_tokens,
-                completion_tokens=stats.completion_tokens,
-            )
+            with write_lock:
+                w.write_query(qid, ranking)
+                log.emit("query_done", qid=qid)
 
+        qs = [q for _, q, _ in first_stage]
+        rs = [r for _, _, r in first_stage]
         with trace(args.run.profile_dir):
-            ranker.rerank_many(
-                [q for _, q, _ in first_stage],
-                [r for _, _, r in first_stage],
-                on_result=on_result,
-            )
+            if args.run.cohorts > 1:
+                _, cohort_rankers = rerank_many_pipelined(
+                    lambda: make_ranker(args, engine), qs, rs,
+                    cohorts=args.run.cohorts, on_result=on_result,
+                )
+                stats_lists = [r.per_query_stats for r in cohort_rankers]
+            else:
+                ranker.rerank_many(qs, rs, on_result=on_result)
+                stats_lists = [ranker.per_query_stats]
         report.wall_s = time.time() - tic
-        for stats in ranker.per_query_stats:
-            report.add_query(stats)
+        for stats_list in stats_lists:
+            for stats in stats_list:
+                report.add_query(stats)
     report.print_summary()
     log.emit("run_done", **report.summary())
     log.close()

@@ -202,3 +202,30 @@ def test_cli_generation_scoring(tmp_path):
     groups = trec.read_run(str(save))
     assert len(groups) == 2 and all(len(g[1]) == 6 for g in groups)
     assert "Avg completion tokens:" in res.stdout
+
+
+def test_cli_cohorts(tmp_path):
+    corpus, run, queries = make_fixture(tmp_path, n_queries=4, n_docs=8)
+    save = tmp_path / "cohort.trec"
+    cmd = [
+        sys.executable, "-c",
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['run'] + sys.argv[1:];"
+        "from llmrankers_tpu.cli.run import parse_args, main;"
+        "main(parse_args())",
+        "run", "--model_name_or_path", "random:t5-tiny",
+        "--run_path", str(run), "--save_path", str(save),
+        "--query_file", str(queries), "--corpus_file", str(corpus),
+        "--hits", "8", "--scoring", "likelihood", "--dtype", "float32",
+        "--cohorts", "2",
+        "setwise", "--num_child", "2", "--k", "3",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(tmp_path), timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    groups = trec.read_run(str(save))
+    assert sorted(g[0] for g in groups) == ["q0", "q1", "q2", "q3"]
+    assert all(len(g[1]) == 8 for g in groups)
+    assert "Avg comparisons:" in res.stdout
