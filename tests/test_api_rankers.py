@@ -107,3 +107,19 @@ def test_api_retry_on_transient_error(server):
     r = OpenAiSetwiseLlmRanker(client(server), num_child=11, k=1)
     out = r.rerank("q", make_ranking())
     assert out[0].docid == ideal()[0]
+
+
+def test_api_setwise_insertion(server):
+    r = OpenAiSetwiseLlmRanker(client(server), num_child=3, k=4,
+                               method="insertion")
+    out = r.rerank("q", make_ranking())
+    assert [d.docid for d in out[:4]] == ideal()[:4]
+
+
+def test_api_setwise_unknown_method(server):
+    r = OpenAiSetwiseLlmRanker(client(server), num_child=3, k=4,
+                               method="quicksort")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        r.rerank("q", make_ranking())

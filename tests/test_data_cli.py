@@ -229,3 +229,37 @@ def test_cli_cohorts(tmp_path):
     assert sorted(g[0] for g in groups) == ["q0", "q1", "q2", "q3"]
     assert all(len(g[1]) == 8 for g in groups)
     assert "Avg comparisons:" in res.stdout
+
+
+def test_rank_r1_insertion_method():
+    import re as _re
+
+    from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+    from llmrankers_tpu.rankers.rank_r1 import RankR1SetwiseLlmRanker
+
+    class ChatOracle:
+        kind = "decoder"
+
+        def __init__(self):
+            self.tokenizer = ByteTokenizer()
+
+        def generate(self, rows, max_new_tokens, decoder_prefix=(),
+                     stop_strings=(), chunk_tokens=None, stats=None):
+            texts, ntoks = [], []
+            for row in rows:
+                text = self.tokenizer.decode(row)
+                scores = [float(m) for m in _re.findall(r"relevance (\d+)", text)]
+                best = int(np.argmax(scores)) + 1
+                texts.append(f"<think>ok</think>\n<answer>[{best}]</answer>")
+                ntoks.append(8)
+            return texts, ntoks
+
+    prompt_file = "/root/repo/llmrankers_tpu/prompts/prompt_setwise-R1.toml"
+    r = RankR1SetwiseLlmRanker(ChatOracle(), prompt_file, num_child=4, k=3,
+                               method="insertion")
+    vals = [17, 3, 94, 55, 21, 8, 76, 42, 63, 30]
+    docs = [SearchResult(f"d{i}", 0.0, f"passage with relevance {v}")
+            for i, v in enumerate(vals)]
+    out = r.rerank("which doc", docs)
+    want = [f"d{i}" for i in np.argsort(vals)[::-1][:3]]
+    assert [d.docid for d in out[:3]] == want
