@@ -1,0 +1,206 @@
+"""HTTP reranking server with cross-request continuous batching.
+
+Beyond the reference's batch CLI: a production serving surface. Concurrent
+requests are micro-batched — the dispatcher collects jobs for a short
+window and submits them through one ``rerank_many`` call, so their
+comparisons share device waves exactly like the offline driver's queries
+(the wave batcher is the continuous-batching engine).
+
+API (Cohere-/Jina-style rerank endpoint):
+
+    POST /v1/rerank
+    {"query": "...", "documents": ["...", {"text": "..."}...],
+     "top_n": 10}
+    -> {"results": [{"index": 3, "relevance_score": -1.0}, ...],
+        "meters": {"comparisons": N, "prompt_tokens": N, ...}}
+
+    GET /health -> {"status": "ok", ...}
+
+Run:
+
+    python -m llmrankers_tpu.serve \
+        --model_name_or_path /ckpts/flan-t5-large --port 8080 \
+        --scoring likelihood setwise --num_child 2 --k 10
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+from .types import LlmRanker, SearchResult
+
+
+class _Job:
+    def __init__(self, query: str, ranking: List[SearchResult]):
+        self.query = query
+        self.ranking = ranking
+        self.done = threading.Event()
+        self.result: Optional[List[SearchResult]] = None
+        self.stats: Optional[Dict[str, int]] = None
+        self.error: Optional[str] = None
+
+
+class RerankService:
+    """Micro-batching dispatcher over one ranker."""
+
+    def __init__(self, ranker: LlmRanker, max_batch: int = 64,
+                 window_ms: float = 5.0):
+        self.ranker = ranker
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.queue: "queue.Queue[_Job]" = queue.Queue()
+        self.served = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, query: str, ranking: List[SearchResult]) -> _Job:
+        job = _Job(query, ranking)
+        self.queue.put(job)
+        return job
+
+    def shutdown(self) -> None:
+        self._stop = True
+
+    def _loop(self) -> None:
+        while not self._stop:
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            jobs = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(jobs) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    jobs.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self.ranker.rerank_many(
+                    [j.query for j in jobs], [j.ranking for j in jobs]
+                )
+                per_query = getattr(self.ranker, "per_query_stats", None)
+                for i, (job, res) in enumerate(zip(jobs, results)):
+                    job.result = res
+                    if per_query is not None:
+                        s = per_query[i]
+                        job.stats = {
+                            "comparisons": s.comparisons,
+                            "prompt_tokens": s.prompt_tokens,
+                            "completion_tokens": s.completion_tokens,
+                        }
+                self.served += len(jobs)
+            except Exception as e:  # surface per-job
+                for job in jobs:
+                    job.error = f"{type(e).__name__}: {e}"
+            finally:
+                for job in jobs:
+                    job.done.set()
+
+
+def make_handler(service: RerankService, default_top_n: Optional[int]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok", "served": service.served})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/rerank", "/rerank"):
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                query = req["query"]
+                docs = req["documents"]
+                if not isinstance(docs, list) or not docs:
+                    raise ValueError("documents must be a non-empty list")
+                texts = [
+                    d if isinstance(d, str) else (d.get("text") or d.get("contents"))
+                    for d in docs
+                ]
+                if any(t is None for t in texts):
+                    raise ValueError("each document needs text")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+
+            ranking = [
+                SearchResult(docid=str(i), score=0.0, text=t)
+                for i, t in enumerate(texts)
+            ]
+            job = service.submit(query, ranking)
+            job.done.wait()
+            if job.error:
+                self._send(500, {"error": job.error})
+                return
+            top_n = req.get("top_n", default_top_n) or len(texts)
+            results = [
+                {"index": int(d.docid), "relevance_score": float(d.score)}
+                for d in job.result[:top_n]
+            ]
+            self._send(200, {"results": results, "meters": job.stats})
+
+    return Handler
+
+
+def build_ranker_from_args(argv=None):
+    """Reuse the rerank CLI's parser/factory for model+method flags."""
+    from .cli.run import make_engine, make_ranker, parse_args
+
+    args = parse_args(argv)
+    if args.run is None:
+        raise SystemExit("need the `run` section (see llmrankers_tpu.cli.run)")
+    lora = args.setwise.lora_name_or_path if args.setwise else None
+    engine = make_engine(args.run, lora)
+    return make_ranker(args, engine), args
+
+
+def main() -> None:
+    import sys
+
+    # Split out serve-specific flags, pass the rest to the run parser.
+    serve_p = argparse.ArgumentParser(add_help=False)
+    serve_p.add_argument("--port", type=int, default=8080)
+    serve_p.add_argument("--host", type=str, default="127.0.0.1")
+    serve_p.add_argument("--max_batch", type=int, default=64)
+    serve_p.add_argument("--window_ms", type=float, default=5.0)
+    serve_args, rest = serve_p.parse_known_args(sys.argv[1:])
+
+    ranker, args = build_ranker_from_args(rest)
+    top_n = None
+    for sec in ("setwise", "pairwise"):
+        ns = getattr(args, sec)
+        if ns is not None:
+            top_n = ns.k
+    service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms)
+    server = ThreadingHTTPServer(
+        (serve_args.host, serve_args.port), make_handler(service, top_n)
+    )
+    print(f"serving on http://{serve_args.host}:{serve_args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

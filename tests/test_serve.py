@@ -1,0 +1,88 @@
+"""Reranking server: concurrent requests batch through one wave pass."""
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from llmrankers_tpu.rankers import SetwiseLlmRanker
+from llmrankers_tpu.serve import RerankService, make_handler
+from test_rankers import OracleEngine, VALUES
+
+
+@pytest.fixture(scope="module")
+def server():
+    eng = OracleEngine()
+    ranker = SetwiseLlmRanker(eng, num_child=3, k=5, scoring="likelihood")
+    service = RerankService(ranker, max_batch=8, window_ms=30.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, 5))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", eng
+    srv.shutdown()
+    service.shutdown()
+
+
+def _post(base, payload):
+    req = urllib.request.Request(
+        base + "/v1/rerank",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_rerank_endpoint(server):
+    base, eng = server
+    docs = [f"passage with relevance {v}" for v in VALUES[:12]]
+    status, out = _post(base, {"query": "q", "documents": docs, "top_n": 5})
+    assert status == 200
+    idx = [r["index"] for r in out["results"]]
+    want = list(np.argsort(VALUES[:12])[::-1][:5])
+    assert idx == [int(i) for i in want]
+    assert out["meters"]["comparisons"] > 0
+
+
+def test_concurrent_requests_share_waves(server):
+    base, eng = server
+    calls_before = eng.calls
+    results = {}
+
+    def hit(i):
+        docs = [f"passage with relevance {v + i}" for v in VALUES[:10]]
+        results[i] = _post(base, {"query": f"q{i}", "documents": docs})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(results[i][0] == 200 for i in range(6))
+    total_compares = sum(
+        results[i][1]["meters"]["comparisons"] for i in range(6)
+    )
+    # Cross-request batching: far fewer engine dispatches than compares.
+    assert (eng.calls - calls_before) < total_compares
+
+
+def test_bad_requests(server):
+    base, _ = server
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"documents": ["x"]})  # missing query
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, {"query": "q", "documents": []})
+    assert e.value.code == 400
+    # dict documents and health endpoint
+    status, out = _post(base, {"query": "q", "documents": [
+        {"text": "passage with relevance 5"},
+        {"text": "passage with relevance 9"},
+    ]})
+    assert status == 200 and out["results"][0]["index"] == 1
+    with urllib.request.urlopen(base + "/health", timeout=10) as resp:
+        assert json.loads(resp.read())["status"] == "ok"
