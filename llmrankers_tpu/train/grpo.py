@@ -67,7 +67,15 @@ class GRPOTrainer:
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(cfg.learning_rate),
         )
-        self.lora = lora_mod.init_lora(base_params, cfg.lora, jax.random.PRNGKey(0))
+        # DDP layout (ds_zero0_config.json stage-0 semantics): adapter +
+        # optimizer state replicated on every device, batches sharded over
+        # 'data'; XLA inserts the gradient all-reduce NCCL did.
+        self._repl = NamedSharding(mesh, P())
+        self._data_sh = NamedSharding(mesh, P("data"))
+        self.lora = jax.device_put(
+            lora_mod.init_lora(base_params, cfg.lora, jax.random.PRNGKey(0)),
+            self._repl,
+        )
         self.opt_state = self.tx.init(self.lora)
         self.step_idx = 0
         self._jit_cache: Dict[Any, Any] = {}
@@ -87,7 +95,11 @@ class GRPOTrainer:
         if key not in self._jit_cache:
             mcfg, cfg = self.model_cfg, self.cfg
 
+            data_sh = self._data_sh
+
             def fn(lora, ids, mask, rng):
+                ids = jax.lax.with_sharding_constraint(ids, data_sh)
+                mask = jax.lax.with_sharding_constraint(mask, data_sh)
                 merged = lora_mod.merge(self.base_params, lora, cfg.lora)
                 logits, cache = gen_mod.decoder_prefill(merged, mcfg, ids, mask, T)
                 k0, k1 = jax.random.split(rng)
@@ -137,10 +149,19 @@ class GRPOTrainer:
                 metrics["loss"] = total
                 return total, metrics
 
+            data_sh, repl = self._data_sh, self._repl
+
             def grad_fn(lora, ids, mask, comp_mask, adv):
+                ids = jax.lax.with_sharding_constraint(ids, data_sh)
+                mask = jax.lax.with_sharding_constraint(mask, data_sh)
+                comp_mask = jax.lax.with_sharding_constraint(comp_mask, data_sh)
+                adv = jax.lax.with_sharding_constraint(adv, data_sh)
                 (l, metrics), grads = jax.value_and_grad(loss, has_aux=True)(
                     lora, ids, mask, comp_mask, adv
                 )
+                # Grads of a replicated pytree w.r.t. a data-sharded loss
+                # come out replicated already; pin it so XLA keeps them so.
+                grads = jax.lax.with_sharding_constraint(grads, repl)
                 return grads, metrics
 
             def apply_fn(lora, opt_state, grads):
@@ -175,7 +196,8 @@ class GRPOTrainer:
         rep_rows = [r for r in rows for _ in range(G)]
         ids, mask = self._pad_left(rep_rows, L)
         rng = jax.random.PRNGKey(929 + self.step_idx)
-        comp_ids = self._sample_fn(L, T)(self.lora, ids, mask, rng)
+        with self.mesh:
+            comp_ids = self._sample_fn(L, T)(self.lora, ids, mask, rng)
         comp_np = np.asarray(comp_ids)
 
         completions = []
@@ -210,19 +232,25 @@ class GRPOTrainer:
         # Gradient accumulation over even micro-batches of the rollout
         # rows (train_grpo_v0.2.py:36 gradient_accumulation_steps=4).
         n_rows = full_ids.shape[0]
+        n_data = self.mesh.shape.get("data", 1)
         accum = max(1, min(cfg.grad_accum, n_rows))
-        while n_rows % accum:
+        # Even micro-batches; keep them divisible by the data axis whenever
+        # the full rollout is, so every micro-batch shards evenly.
+        while n_rows % accum or (
+            n_rows % n_data == 0 and (n_rows // accum) % n_data
+        ):
             accum -= 1
         micro = n_rows // accum
         grads_sum = None
         metric_sums: Dict[str, float] = {}
         for a in range(accum):
             sl = slice(a * micro, (a + 1) * micro)
-            g, m = grad_fn(
-                self.lora,
-                jnp.asarray(full_ids[sl]), jnp.asarray(attn[sl]),
-                jnp.asarray(comp_valid[sl]), jnp.asarray(adv[sl]),
-            )
+            with self.mesh:
+                g, m = grad_fn(
+                    self.lora,
+                    jnp.asarray(full_ids[sl]), jnp.asarray(attn[sl]),
+                    jnp.asarray(comp_valid[sl]), jnp.asarray(adv[sl]),
+                )
             for key_, v in m.items():
                 metric_sums[key_] = metric_sums.get(key_, 0.0) + float(v)
             grads_sum = g if grads_sum is None else jax.tree.map(
@@ -231,7 +259,8 @@ class GRPOTrainer:
         metrics = {key_: v / accum for key_, v in metric_sums.items()}
         if accum > 1:
             grads_sum = jax.tree.map(lambda x: x / accum, grads_sum)
-        self.lora, self.opt_state = apply_fn(self.lora, self.opt_state, grads_sum)
+        with self.mesh:
+            self.lora, self.opt_state = apply_fn(self.lora, self.opt_state, grads_sum)
         self.step_idx += 1
         out = {k: float(v) for k, v in metrics.items()}
         out["reward_mean"] = float(rewards.mean())

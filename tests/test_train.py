@@ -234,3 +234,46 @@ def test_grpo_grad_accum(tiny_model):
     m = tr.train_step(prompts, ["[1]", "[2]"])
     assert np.isfinite(m["loss"])
     assert m["reward_std"] > 0  # alternating rewards -> nonzero advantage
+
+
+def test_grpo_dp_matches_single_device(tiny_model):
+    """GRPO step on a 4x2 (dp x tp) mesh reproduces the 1x1 result.
+
+    The reference trains GRPO as 4-GPU DDP (DeepSpeed ZeRO-0,
+    Rank-R1/train_grpo.py:58); here DP is batch sharding over 'data'
+    with XLA inserting the gradient all-reduce. Same seeds + a
+    deterministic reward => identical rollouts, so the updated adapter
+    must match the single-device run up to reduction-order noise.
+    """
+    cfg, params = tiny_model
+    tok = ByteTokenizer(cfg.vocab_size)
+    gcfg = GRPOConfig(num_generations=4, max_completion_length=8,
+                      max_prompt_length=64, beta=0.04, grad_accum=2,
+                      lora=lora_mod.LoraConfig(r=2, alpha=4))
+
+    def reward(completions, gts):
+        return [float(i % 2) for i, _ in enumerate(completions)]
+
+    prompts = [[{"role": "user", "content": f"pick doc {i}"}] for i in range(2)]
+    results = {}
+    for name, (nd, nm) in {"single": (1, 1), "dp_tp": (4, 2)}.items():
+        p = mesh_mod.shard_params(
+            params, mesh_mod.decoder_param_pspecs(params),
+            mesh_mod.make_mesh(nd, nm),
+        ) if (nd, nm) != (1, 1) else params
+        tr = GRPOTrainer(cfg, p, tok, gcfg, mesh_mod.make_mesh(nd, nm),
+                         reward_fn=reward)
+        m = tr.train_step(prompts, ["[1]", "[2]"])
+        results[name] = (m, jax.tree.map(np.asarray, tr.lora))
+    m1, lora1 = results["single"]
+    m2, lora2 = results["dp_tp"]
+    assert m2["reward_mean"] == m1["reward_mean"]
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=2e-4, atol=2e-5)
+    flat1 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(lora1)}
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(lora2)}
+    assert flat1.keys() == flat2.keys()
+    for k in flat1:
+        np.testing.assert_allclose(flat2[k], flat1[k], rtol=2e-3, atol=2e-5,
+                                   err_msg=k)
