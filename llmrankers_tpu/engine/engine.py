@@ -75,17 +75,19 @@ class ScoringEngine:
         import os
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
-        # Flash kernel currently runs single-device only (multi-device
-        # needs a shard_map wrapper; planned with the TP path).
-        # LLMRANKERS_NO_FLASH=1 opts out.
+        # Multi-device meshes run the kernel under shard_map (batch over
+        # 'data', heads over 'model' — ops/flash.py), matching the TP
+        # layout the param pspecs induce. LLMRANKERS_NO_FLASH=1 opts out.
         _no = os.environ.get("LLMRANKERS_NO_FLASH") == "1"
         if use_flash == "on" or (
             use_flash == "auto"
             and jax.default_backend() == "tpu"
-            and _mesh_size == 1
             and not _no
         ):
-            cfg = dataclasses.replace(cfg, use_flash=True)
+            cfg = dataclasses.replace(
+                cfg, use_flash=True,
+                flash_mesh=mesh if _mesh_size > 1 else None,
+            )
         self.kind = kind
         self.cfg = cfg
         self.tokenizer = tokenizer

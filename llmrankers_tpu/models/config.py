@@ -12,7 +12,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -35,6 +35,9 @@ class T5Config:
     # Route attention through the Pallas flash kernel (set by the engine
     # on TPU; static jit-cache key, so it lives on the config).
     use_flash: bool = False
+    # Mesh for shard_map'd flash under TP/DP (hashable; set by the engine
+    # alongside use_flash when the mesh spans >1 device).
+    flash_mesh: Optional[Any] = None
 
     @property
     def is_gated(self) -> bool:
@@ -113,6 +116,7 @@ class DecoderConfig:
     eos_token_id: int = 2
     bos_token_id: int = 1
     use_flash: bool = False
+    flash_mesh: Optional[Any] = None  # see T5Config.flash_mesh
 
     @property
     def head_dim_(self) -> int:

@@ -83,7 +83,7 @@ def forward_hidden(
         k = _repeat_kv(k, H // KV)
         v = _repeat_kv(v, H // KV)
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
-                use_flash=cfg.use_flash)
+                use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + a @ lp["wo"]
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)

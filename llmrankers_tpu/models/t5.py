@@ -106,7 +106,7 @@ def _attn(
     k = _split_heads(kv_src @ lp[prefix + "k"], cfg.num_heads)
     v = _split_heads(kv_src @ lp[prefix + "v"], cfg.num_heads)
     out = mha(q, k, v, kv_mask=kv_mask, causal=causal, bias=bias, scale=1.0,
-              use_flash=cfg.use_flash)
+              use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
     return _merge_heads(out) @ lp[prefix + "o"]
 
 
@@ -183,7 +183,7 @@ def _cross_attn(lp, cfg, x, enc_out, enc_mask):
     k = _split_heads(enc_out @ lp["ck"], cfg.num_heads)
     v = _split_heads(enc_out @ lp["cv"], cfg.num_heads)
     out = mha(q, k, v, kv_mask=enc_mask, bias=None, scale=1.0,
-              use_flash=cfg.use_flash)
+              use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
     return _merge_heads(out) @ lp["co"]
 
 

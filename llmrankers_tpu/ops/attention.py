@@ -26,6 +26,7 @@ def mha(
     bias: Optional[jax.Array] = None,  # [1|B, H, Lq, Lk] additive (T5 rel bias)
     scale: Optional[float] = None,  # None -> 1/sqrt(Dh); T5 passes 1.0
     use_flash: bool = False,
+    mesh=None,  # Mesh for TP/DP shard_map dispatch of the flash kernel
 ) -> jax.Array:
     """Multi-head attention. Returns [B, H, Lq, Dh].
 
@@ -41,11 +42,21 @@ def mha(
     # Short decoder steps stay on XLA (kernel launch overhead dominates,
     # and each extra shape costs a Mosaic compile).
     if use_flash and mask is None and q.shape[2] >= 128:
-        from .flash import flash_mha  # lazy: pallas import only on TPU path
-
-        return flash_mha(
-            q, k, v, kv_mask=kv_mask, causal=causal, bias=bias, scale=scale
+        multi = mesh is not None and mesh.devices.size > 1
+        # shard_map layout: batch over 'data', heads over 'model'. Uneven
+        # shards can't be expressed — fall through to the XLA path then
+        # (never run the unsharded kernel inside a sharded program).
+        even = not multi or (
+            q.shape[0] % mesh.shape.get("data", 1) == 0
+            and q.shape[1] % mesh.shape.get("model", 1) == 0
         )
+        if even:
+            from .flash import flash_mha  # lazy: pallas import on TPU path
+
+            return flash_mha(
+                q, k, v, kv_mask=kv_mask, causal=causal, bias=bias,
+                scale=scale, mesh=mesh if multi else None,
+            )
 
     dtype = q.dtype
     scores = jnp.einsum(
