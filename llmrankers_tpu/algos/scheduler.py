@@ -57,6 +57,7 @@ class WaveRunner:
         self._pending: List[_Pending] = []
         self._live = 0  # tasks that may still submit requests
         self._seq = 0
+        self._progress = 0  # monotone counter: bumps on every task event
         self._wave_event: Optional[asyncio.Event] = None
         self.num_waves = 0  # device dispatches issued (observability)
 
@@ -69,6 +70,7 @@ class WaveRunner:
         fut: asyncio.Future = loop.create_future()
         self._pending.append(_Pending(self._seq, request, fut))
         self._seq += 1
+        self._progress += 1
         self._maybe_signal()
         return await fut
 
@@ -81,20 +83,44 @@ class WaveRunner:
         if not coros:
             return []
         self._live += len(coros)
-        tasks = [asyncio.ensure_future(self._tracked(c)) for c in coros]
+        # The parent counts as live again the moment its LAST child ends —
+        # in the child's own completion hop, not the parent's resume hop.
+        # Otherwise live dips while the wakeup is in flight and the runner
+        # flushes a sub-maximal wave (the parent's next compare would miss
+        # the batch it belongs in).
+        state = {"remaining": len(coros), "restored": False}
+
+        def child_done():
+            state["remaining"] -= 1
+            if state["remaining"] == 0 and not state["restored"]:
+                state["restored"] = True
+                self._live += 1
+
+        tasks = [
+            asyncio.ensure_future(self._tracked(c, child_done)) for c in coros
+        ]
         # The awaiting parent is blocked but not on a compare -> it must not
         # count as live, else the runner would deadlock waiting for it.
         self._live -= 1
+        self._progress += 1
         try:
             return await asyncio.gather(*tasks)
         finally:
-            self._live += 1
+            if not state["restored"]:  # resumed early (child exception)
+                state["restored"] = True
+                self._live += 1
+            self._progress += 1
 
-    async def _tracked(self, coro: Coroutine) -> Any:
+    async def _tracked(
+        self, coro: Coroutine, on_done: Optional[Callable[[], None]] = None
+    ) -> Any:
         try:
             return await coro
         finally:
             self._live -= 1
+            self._progress += 1
+            if on_done is not None:
+                on_done()
             self._maybe_signal()
 
     # ------------------------------------------------------------------
@@ -112,8 +138,9 @@ class WaveRunner:
             while any(not t.done() for t in tasks):
                 await self._wave_event.wait()
                 self._wave_event.clear()
-                # Let every ready callback run so the pending wave is maximal.
-                await _drain_ready()
+                # Yield until every live task is provably blocked on a
+                # compare (len(pending) == live), so the wave is maximal.
+                await self._drain_until_quiescent()
                 if self._pending:
                     self._flush()
                 elif all(t.done() for t in tasks):
@@ -123,6 +150,37 @@ class WaveRunner:
             for t in tasks:
                 if not t.done():
                     t.cancel()
+
+    def _quiescent(self) -> bool:
+        if self._live == 0:
+            return True
+        if self._max_batch is not None and len(self._pending) >= self._max_batch:
+            return True  # budget hit: flush now, stragglers join later waves
+        return len(self._pending) >= self._live
+
+    async def _drain_until_quiescent(self) -> None:
+        """Yield to the event loop until every live task is blocked on an
+        unresolved compare — the pending set is then a provably maximal
+        wave (len(pending) == live) — or until several consecutive yields
+        make no progress (a task is awaiting something external; its
+        compare simply lands in a later wave, which cannot change
+        outcomes).
+
+        Progress is a monotone event counter, so arbitrarily deep await
+        chains (e.g. insertion's nested binary_insert gathers) keep the
+        drain alive; the idle window only needs to cover asyncio's
+        uninstrumented internal hops (done-callback -> gather future ->
+        task wakeup), which span < 3 loop iterations.
+        """
+        idle = 0
+        prev = self._progress
+        while not self._quiescent() and idle < 3:
+            await asyncio.sleep(0)
+            if self._progress == prev:
+                idle += 1
+            else:
+                idle = 0
+                prev = self._progress
 
     def _maybe_signal(self) -> None:
         if self._wave_event is None:
@@ -149,17 +207,6 @@ class WaveRunner:
             for p, out in zip(chunk, outcomes):
                 if not p.future.done():
                     p.future.set_result(out)
-
-
-async def _drain_ready() -> None:
-    """Yield to the event loop until no immediately-runnable callbacks remain.
-
-    A bounded number of zero-sleep yields lets chains of already-resolved
-    awaits (futures set during the previous flush) advance until every task
-    is genuinely blocked on an unresolved future.
-    """
-    for _ in range(3):
-        await asyncio.sleep(0)
 
 
 def run_sync(

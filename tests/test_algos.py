@@ -422,3 +422,36 @@ def test_setwise_insertion_adversarial_prior():
         [setwise_sort.insertion(runner, list(arr), 5, 4, pick_async(runner))]
     )[0]
     assert got[:5] == [99, 98, 97, 96, 95]
+
+
+def test_deep_await_chain_waves_are_maximal():
+    """A compare reached through a gather chain deeper than any fixed
+    yield budget still joins the same wave as shallow compares.
+
+    Task A unwinds 6 nested runner.gather levels between its two compares;
+    task B submits its second compare immediately. Both second compares
+    must land in one shared wave: exactly 2 waves total."""
+
+    async def nest(runner, depth):
+        if depth == 0:
+            return await runner.compare(("leaf",))
+        return (await runner.gather([nest(runner, depth - 1)]))[0]
+
+    async def deep(runner):
+        await nest(runner, 6)
+        return await runner.compare(("deep-post",))
+
+    async def shallow(runner):
+        await runner.compare(("shallow-1",))
+        return await runner.compare(("shallow-2",))
+
+    sizes = []
+
+    def batch_fn(reqs):
+        sizes.append(len(reqs))
+        return [0 for _ in reqs]
+
+    runner = WaveRunner(batch_fn)
+    runner.run([deep(runner), shallow(runner)])
+    assert runner.num_waves == 2, sizes
+    assert sizes == [2, 2], sizes
