@@ -70,6 +70,7 @@ class ScoringEngine:
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         max_batch_tokens: int = 2**17,
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
+        prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
     ):
         import dataclasses
         import os
@@ -95,6 +96,13 @@ class ScoringEngine:
         self.len_buckets = tuple(len_buckets)
         self.batch_buckets = tuple(batch_buckets)
         self.max_batch_tokens = max_batch_tokens
+        # Prompt-prefix KV sharing (decoder models only; T5's bidirectional
+        # encoder makes prefix reuse inexact, so it never applies there).
+        self.prefix_share = (
+            prefix_share
+            and kind != "t5"
+            and os.environ.get("LLMRANKERS_NO_PREFIX_SHARE") != "1"
+        )
         self._jit_cache: Dict[Any, Any] = {}
 
         if kind == "t5":
@@ -125,6 +133,31 @@ class ScoringEngine:
 
     def _pad_batch_left(self, rows: List[List[int]]):
         return self._pad_batch(rows, left=True)
+
+    def _group(self, chunk: List[List[int]]):
+        """Shared-prefix grouping of a chunk (decoder kind only).
+
+        Returns (n, device args (pids, pmask, gidx, sids, smask)) when
+        sharing pays off, else None. Rows keep their original order —
+        only the prefix compute is deduplicated."""
+        if not self.prefix_share:
+            return None
+        from . import prefix as prefix_mod
+
+        grp = prefix_mod.group_shared_prefixes(chunk)
+        if grp is None:
+            return None
+        pre_rows, gidx, suf_rows = grp
+        pids, pmask, _, _ = self._pad_batch(pre_rows)
+        sids, smask, n, B = self._pad_batch(suf_rows)
+        gvec = np.zeros((B,), np.int32)
+        gvec[: len(gidx)] = gidx
+        sids_d, smask_d = self._put(sids, smask)
+        return n, (
+            jnp.asarray(pids), jnp.asarray(pmask),
+            jax.device_put(jnp.asarray(gvec), self._data_sharding),
+            sids_d, smask_d,
+        )
 
     def _chunks(self, rows: List[List[int]]):
         """Split an oversized wave so B*L stays under max_batch_tokens."""
@@ -168,10 +201,19 @@ class ScoringEngine:
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk)
                 fn = self._get_jit("t5_labels", ids.shape, labels, prefix)
+                pending.append((off, n, fn(self.params, *self._put(ids, mask))))
+                continue
+            grp = self._group(chunk)
+            if grp is not None:
+                n, args = grp
+                fn = self._get_jit(
+                    "dec_labels_shared", (args[0].shape, args[3].shape), labels
+                )
+                pending.append((off, n, fn(self.params, *args)))
             else:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_labels", ids.shape, labels, prefix)
-            pending.append((off, n, fn(self.params, *self._put(ids, mask))))
+                pending.append((off, n, fn(self.params, *self._put(ids, mask))))
         for off, n, res in pending:
             out[off : off + n] = np.asarray(res)[:n]
         return out
@@ -244,14 +286,34 @@ class ScoringEngine:
         for off, chunk in self._chunks(prompt_rows):
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
+            chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
+            grp = None if self.kind == "t5" else self._group(chunk)
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk)
                 fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
                 toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
-            elif chunk_tokens and chunk_tokens < max_new_tokens:
+            elif grp is not None:
+                n, args = grp
+                B = args[3].shape[0]
+                prompt_len = args[0].shape[1] + args[3].shape[1]
+                shapes = (args[0].shape, args[3].shape)
+                if chunked:
+                    fn = self._get_jit("dec_prefill_shared", shapes, max_new_tokens)
+                    tok, cache = fn(self.params, *args)
+                    toks = self._decode_chunked(
+                        tok, cache, B, prompt_len, n,
+                        max_new_tokens, chunk_tokens, stop_strings,
+                    )
+                else:
+                    fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
+                    toks = np.asarray(fn(self.params, *args))[:n]
+            elif chunked:
                 ids, mask, n, B = self._pad_batch_left(chunk)
-                toks = self._generate_chunked(
-                    ids, mask, n, max_new_tokens, chunk_tokens, stop_strings
+                prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
+                tok, cache = prefill(self.params, *self._put(ids, mask))
+                toks = self._decode_chunked(
+                    tok, cache, B, ids.shape[1], n,
+                    max_new_tokens, chunk_tokens, stop_strings,
                 )
             else:
                 ids, mask, n, B = self._pad_batch_left(chunk)
@@ -283,22 +345,22 @@ class ScoringEngine:
                 results[off + i] = text
         return results, ntokens
 
-    def _generate_chunked(
+    def _decode_chunked(
         self,
-        ids: np.ndarray,
-        mask: np.ndarray,
+        tok,
+        cache,
+        B: int,
+        prompt_len: int,
         n: int,
         max_new_tokens: int,
         chunk_tokens: int,
         stop_strings: Sequence[str],
     ) -> np.ndarray:
-        """Prefill once, then decode in fixed-size chunks; between chunks
-        the host decodes each live row and freezes rows whose text already
-        contains a stop string (or EOS)."""
-        B, L = ids.shape
-        prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
-        chunk_fn = self._get_jit("dec_chunk", ids.shape, L, chunk_tokens)
-        tok, cache = prefill(self.params, *self._put(ids, mask))
+        """Decode from a prefilled cache in fixed-size chunks; between
+        chunks the host decodes each live row and freezes rows whose text
+        already contains a stop string (or EOS)."""
+        L = prompt_len
+        chunk_fn = self._get_jit("dec_chunk", B, L, chunk_tokens)
         done = jnp.zeros((B,), bool)
         pieces: List[np.ndarray] = []
         offset = 0
@@ -306,7 +368,7 @@ class ScoringEngine:
         while offset < max_new_tokens:
             steps = min(chunk_tokens, max_new_tokens - offset)
             if steps < chunk_tokens:
-                chunk_fn = self._get_jit("dec_chunk", ids.shape, L, steps)
+                chunk_fn = self._get_jit("dec_chunk", B, L, steps)
             out, tok, cache, done = chunk_fn(
                 self.params, tok, cache, jnp.int32(offset), done
             )
@@ -374,6 +436,60 @@ class ScoringEngine:
                 # Left-padded: last position is the last real token.
                 out = dec_mod.label_logits(params, cfg, hidden[:, -1, :], label_arr)
                 return out.astype(jnp.float32)
+
+            return jax.jit(fn)
+        if name in ("dec_labels_shared", "dec_gen_shared", "dec_prefill_shared"):
+            # Shared-prefix paths: prefill each unique prompt prefix once
+            # ([G, Lp]), rows gather their group's K/V, then only suffixes
+            # run the full-width prefill. vLLM prefix-caching equivalent
+            # (setwise.py:450-454; SURVEY.md §7 layer-2 plan).
+            if name == "dec_labels_shared":
+                (pshape, sshape), labels = key
+                label_arr = jnp.asarray(list(labels), jnp.int32)
+                max_new = None
+            else:
+                (pshape, sshape), max_new = key
+            prompt_len = pshape[1] + sshape[1]
+
+            def shared_core(params, pids, pmask, gidx, sids, smask, max_new_):
+                ks, vs = gen_mod.decoder_prefix_kv(params, cfg, pids, pmask)
+                kpre = jnp.take(ks, gidx, axis=1)
+                vpre = jnp.take(vs, gidx, axis=1)
+                pmask_b = jnp.take(pmask, gidx, axis=0)
+                return gen_mod.decoder_shared_prefill(
+                    params, cfg, kpre, vpre, pmask_b, sids, smask, max_new_
+                )
+
+            if name == "dec_labels_shared":
+
+                def fn(params, pids, pmask, gidx, sids, smask):
+                    last_h, _ = shared_core(
+                        params, pids, pmask, gidx, sids, smask, None
+                    )
+                    out = dec_mod.label_logits(params, cfg, last_h, label_arr)
+                    return out.astype(jnp.float32)
+
+            elif name == "dec_prefill_shared":
+
+                def fn(params, pids, pmask, gidx, sids, smask):
+                    last_h, cache = shared_core(
+                        params, pids, pmask, gidx, sids, smask, max_new
+                    )
+                    logits = dec_mod.lm_logits(params, cfg, last_h)
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+            else:  # dec_gen_shared
+
+                def fn(params, pids, pmask, gidx, sids, smask):
+                    last_h, cache = shared_core(
+                        params, pids, pmask, gidx, sids, smask, max_new
+                    )
+                    logits = dec_mod.lm_logits(params, cfg, last_h)
+                    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return gen_mod.decoder_greedy_decode(
+                        params, cfg, first, cache, prompt_len, max_new,
+                        cfg.eos_token_id,
+                    )
 
             return jax.jit(fn)
         if name == "t5_nll":

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..models import decoder as dec_mod
 from ..models import t5 as t5_mod
 from ..models.config import DecoderConfig, T5Config
-from ..ops.attention import apply_rope, rms_norm, rope_cos_sin
+from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 
 NEG_INF = -1e9
 
@@ -194,6 +194,133 @@ def decoder_prefill(
     next_pos = pos[:, -1] + 1  # per-row next RoPE position
     key_mask = jnp.pad(attn_mask.astype(bool), ((0, 0), (0, T - L)))
     return last_logits, (k_cache, v_cache, key_mask, next_pos)
+
+
+def _prefill_layers(
+    params,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,  # [B, L]
+    attn_mask: jax.Array,  # [B, L]
+    pre_k: Optional[jax.Array] = None,  # [Ld, B, KV, Lp, Dh] per-row prefix KV
+    pre_v: Optional[jax.Array] = None,
+    pre_mask: Optional[jax.Array] = None,  # [B, Lp]
+    pos_offset: Optional[jax.Array] = None,  # [B] RoPE offset (prefix lengths)
+):
+    """Forward over a token block, optionally attending to precomputed
+    per-row prefix K/V. Returns (final hidden [B, L, D], k/v stacks
+    [Ld, B, KV, L, Dh], positions [B, L])."""
+    B, L = input_ids.shape
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    x = params["embed"][input_ids]
+    pos = dec_mod.positions_from_mask(attn_mask)
+    if pos_offset is not None:
+        pos = pos + pos_offset[:, None]
+    cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
+    have_pre = pre_k is not None
+    kv_mask_full = (
+        jnp.concatenate([pre_mask, attn_mask], axis=1) if have_pre else attn_mask
+    )
+
+    def layer(h, xs):
+        if have_pre:
+            lp, kpl, vpl = xs
+        else:
+            lp = xs
+        hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q = hn @ lp["wq"]
+        k = hn @ lp["wk"]
+        v = hn @ lp["wv"]
+        if cfg.attention_bias:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, KV, Dh).transpose(0, 2, 1, 3)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if have_pre:
+            k_all = jnp.concatenate([kpl, k], axis=2)
+            v_all = jnp.concatenate([vpl, v], axis=2)
+        else:
+            k_all, v_all = k, v
+        kf = jnp.repeat(k_all, H // KV, axis=1)
+        vf = jnp.repeat(v_all, H // KV, axis=1)
+        # causal with Lk > Lq: suffix token j sees all prefix keys plus
+        # suffix keys <= j (mha's diagonal offset is Lk - Lq = Lp).
+        a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True, scale=Dh**-0.5,
+                use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+        a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+        h = h + a @ lp["wo"]
+        hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]
+        return h + f, (k, v)
+
+    xs = (params["layers"], pre_k, pre_v) if have_pre else params["layers"]
+    h, (ks, vs) = jax.lax.scan(layer, x, xs)
+    h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+    return h, ks, vs, pos
+
+
+def decoder_prefix_kv(
+    params, cfg: DecoderConfig, input_ids: jax.Array, attn_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-layer post-RoPE K/V of shared prompt prefixes [Ld, G, KV, Lp, Dh].
+
+    Prefixes are RIGHT-padded with absolute positions 0..len-1, so the
+    result is row-independent: every row sharing the prefix reuses the
+    same K/V. TPU-native analogue of vLLM's PagedAttention prefix caching
+    (reference: llmrankers/setwise.py:450-454) — instead of paged blocks,
+    the unique prefixes run as one small batch and rows gather their
+    group's K/V (SURVEY.md §7 layer-2 plan)."""
+    _, ks, vs, _ = _prefill_layers(params, cfg, input_ids, attn_mask)
+    return ks, vs
+
+
+def decoder_shared_prefill(
+    params,
+    cfg: DecoderConfig,
+    pre_k: jax.Array,  # [Ld, B, KV, Lp, Dh] (gathered per row)
+    pre_v: jax.Array,
+    pre_mask: jax.Array,  # [B, Lp]
+    suffix_ids: jax.Array,  # [B, Ls] RIGHT-padded
+    suffix_mask: jax.Array,  # [B, Ls]
+    max_new_tokens: Optional[int],
+):
+    """Prefill suffix tokens on top of shared-prefix K/V.
+
+    Returns (last real-token hidden [B, D], cache) where cache matches
+    ``decoder_prefill``'s format with prompt_len = Lp + Ls (padding holes
+    between prefix and suffix are handled by key_mask; RoPE positions are
+    contiguous per row). max_new_tokens=None skips cache assembly (label
+    scoring)."""
+    B, Ls = suffix_ids.shape
+    Lp = pre_k.shape[3]
+    pre_len = pre_mask.sum(axis=1).astype(jnp.int32)  # [B]
+    h, ks, vs, _ = _prefill_layers(
+        params, cfg, suffix_ids, suffix_mask,
+        pre_k=pre_k, pre_v=pre_v, pre_mask=pre_mask, pos_offset=pre_len,
+    )
+    last_idx = jnp.maximum(jnp.sum(suffix_mask, axis=1) - 1, 0).astype(jnp.int32)
+    last_h = h[jnp.arange(B), last_idx]  # [B, D]
+    if max_new_tokens is None:
+        return last_h, None
+    T_new = max_new_tokens
+    k_cache = jnp.pad(
+        jnp.concatenate([pre_k, ks], axis=3),
+        ((0, 0), (0, 0), (0, 0), (0, T_new), (0, 0)),
+    )
+    v_cache = jnp.pad(
+        jnp.concatenate([pre_v, vs], axis=3),
+        ((0, 0), (0, 0), (0, 0), (0, T_new), (0, 0)),
+    )
+    key_mask = jnp.pad(
+        jnp.concatenate([pre_mask, suffix_mask], axis=1).astype(bool),
+        ((0, 0), (0, T_new)),
+    )
+    next_pos = pre_len + jnp.sum(suffix_mask, axis=1).astype(jnp.int32)
+    return last_h, (k_cache, v_cache, key_mask, next_pos)
 
 
 def decoder_greedy_decode(
