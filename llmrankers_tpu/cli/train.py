@@ -41,6 +41,13 @@ def add_common(p):
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--tensor_parallel", type=int, default=1)
     p.add_argument("--seed", type=int, default=929)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in output_dir "
+                        "(TRL resume_from_checkpoint parity, train_grpo.py:67)")
+    p.add_argument("--eval_dataset", type=str, default=None,
+                   help="held-out JSONL rows; evaluated at every save point "
+                        "(v0.2's 1000-example test split, "
+                        "create_dataset_v0.2.py:55-59)")
 
 
 def build_parser():
@@ -115,8 +122,30 @@ def main_grpo(args):
         lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
     )
     trainer = GRPOTrainer(cfg, params, tok, gcfg, mesh)
+    start = 0
+    if args.resume and ckpt.latest_step(args.output_dir) is not None:
+        start, trainer.lora, trainer.opt_state = ckpt.restore(
+            args.output_dir,
+            {"step": 0, "lora": trainer.lora, "opt_state": trainer.opt_state},
+        )
+        trainer.step_idx = start  # keeps the rollout RNG stream aligned
+        logger.info("resumed from step %d", start)
+    eval_rows = load_rows(args.eval_dataset) if args.eval_dataset else None
+
+    def run_eval(step):
+        if not eval_rows:
+            return {}
+        m = trainer.evaluate(
+            [r["prompt"] for r in eval_rows],
+            [r["ground_truth"] for r in eval_rows],
+        )
+        print(json.dumps({"step": step,
+                          **{k: round(v, 5) for k, v in m.items()}}),
+              flush=True)
+        return m
+
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(start, args.steps):
         batch = [rows[(step * args.batch_size + i) % len(rows)]
                  for i in range(args.batch_size)]
         metrics = trainer.train_step(
@@ -127,6 +156,7 @@ def main_grpo(args):
               flush=True)
         if (step + 1) % args.save_steps == 0 or step + 1 == args.steps:
             ckpt.save(args.output_dir, step + 1, trainer.lora, trainer.opt_state)
+            run_eval(step + 1)
 
 
 def main_sft(args):
@@ -146,30 +176,61 @@ def main_sft(args):
     )
     step_fn, lora, opt = make_sft_step(cfg, tcfg, mesh, params)
     resp_ids = tok.encode(args.response_template, add_special_tokens=False)
+
+    def make_batch(batch_rows):
+        texts = []
+        for r in batch_rows:
+            msgs = list(r["prompt"]) + list(r.get("completion", []))
+            texts.append(tok.apply_chat_template(msgs, add_generation_prompt=False))
+        enc = [tok.encode(t, add_special_tokens=False)[: args.max_length]
+               for t in texts]
+        L = max(8, 1 << (max(len(e) for e in enc) - 1).bit_length())
+        B = len(enc)
+        ids = np.full((B, L), tok.pad_id, np.int32)
+        attn = np.zeros((B, L), np.int32)
+        for i, e in enumerate(enc):
+            ids[i, : len(e)] = e
+            attn[i, : len(e)] = 1
+        lmask = completion_only_mask(ids, resp_ids, tok.pad_id)
+        return {
+            "input_ids": jnp.asarray(ids),
+            "attn_mask": jnp.asarray(attn),
+            "loss_mask": jnp.asarray(lmask),
+        }
+
+    start = 0
+    if args.resume and ckpt.latest_step(args.output_dir) is not None:
+        start, lora, opt = ckpt.restore(
+            args.output_dir, {"step": 0, "lora": lora, "opt_state": opt}
+        )
+        logger.info("resumed from step %d", start)
+
+    eval_rows = load_rows(args.eval_dataset) if args.eval_dataset else None
+    eval_fn = None
+    if eval_rows:
+        import jax
+
+        from ..train import lora as lora_mod
+        from ..train.sft import sft_loss
+
+        @jax.jit
+        def eval_fn(lora_, batch):  # held-out completion-masked loss
+            merged = lora_mod.merge(params, lora_, tcfg.lora)
+            return sft_loss(merged, cfg, batch)[0]
+
+    def run_eval(step, lora_):
+        if not eval_rows:
+            return
+        loss = float(eval_fn(lora_, make_batch(eval_rows)))
+        print(json.dumps({"step": step, "eval_loss": round(loss, 5),
+                          "eval_n": len(eval_rows)}), flush=True)
+
     t0 = time.time()
     with mesh:
-        for step in range(args.steps):
+        for step in range(start, args.steps):
             batch_rows = [rows[(step * args.batch_size + i) % len(rows)]
                           for i in range(args.batch_size)]
-            texts = []
-            for r in batch_rows:
-                msgs = list(r["prompt"]) + list(r.get("completion", []))
-                texts.append(tok.apply_chat_template(msgs, add_generation_prompt=False))
-            enc = [tok.encode(t, add_special_tokens=False)[: args.max_length]
-                   for t in texts]
-            L = max(8, 1 << (max(len(e) for e in enc) - 1).bit_length())
-            B = len(enc)
-            ids = np.full((B, L), tok.pad_id, np.int32)
-            attn = np.zeros((B, L), np.int32)
-            for i, e in enumerate(enc):
-                ids[i, : len(e)] = e
-                attn[i, : len(e)] = 1
-            lmask = completion_only_mask(ids, resp_ids, tok.pad_id)
-            lora, opt, metrics = step_fn(lora, opt, {
-                "input_ids": jnp.asarray(ids),
-                "attn_mask": jnp.asarray(attn),
-                "loss_mask": jnp.asarray(lmask),
-            })
+            lora, opt, metrics = step_fn(lora, opt, make_batch(batch_rows))
             print(json.dumps({
                 "step": step, "elapsed_s": round(time.time() - t0, 1),
                 "loss": round(float(metrics["loss"]), 5),
@@ -177,6 +238,7 @@ def main_sft(args):
             }), flush=True)
             if (step + 1) % args.save_steps == 0 or step + 1 == args.steps:
                 ckpt.save(args.output_dir, step + 1, lora, opt)
+                run_eval(step + 1, lora)
 
 
 if __name__ == "__main__":

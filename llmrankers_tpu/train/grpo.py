@@ -174,6 +174,57 @@ class GRPOTrainer:
             )
         return self._jit_cache[key]
 
+    def _eval_fn(self, L: int, T: int):
+        key = ("eval", L, T)
+        if key not in self._jit_cache:
+            mcfg, cfg = self.model_cfg, self.cfg
+            data_sh = self._data_sh
+
+            def fn(lora, ids, mask):
+                ids = jax.lax.with_sharding_constraint(ids, data_sh)
+                mask = jax.lax.with_sharding_constraint(mask, data_sh)
+                merged = lora_mod.merge(self.base_params, lora, cfg.lora)
+                logits, cache = gen_mod.decoder_prefill(merged, mcfg, ids, mask, T)
+                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return gen_mod.decoder_greedy_decode(
+                    merged, mcfg, first, cache, L, T, mcfg.eos_token_id
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def evaluate(
+        self, prompts: List[List[dict]], ground_truths: Sequence[str]
+    ) -> Dict[str, float]:
+        """Held-out reward accuracy: ONE greedy completion per prompt,
+        scored by the reward function (binary, so mean == accuracy).
+        Mirrors the v0.2 builder's 1000-example test split
+        (create_dataset_v0.2.py:55-59)."""
+        cfg = self.cfg
+        texts = [
+            self.tokenizer.apply_chat_template(p, add_generation_prompt=True)
+            for p in prompts
+        ]
+        rows = [
+            self.tokenizer.encode(t, add_special_tokens=False)[-cfg.max_prompt_length:]
+            for t in texts
+        ]
+        L = max(8, 1 << (max(len(r) for r in rows) - 1).bit_length())
+        ids, mask = self._pad_left(rows, L)
+        with self.mesh:
+            comp = np.asarray(
+                self._eval_fn(L, cfg.max_completion_length)(self.lora, ids, mask)
+            )
+        completions = [
+            self.tokenizer.decode(row.tolist(), skip_special_tokens=True)
+            for row in comp
+        ]
+        rewards = np.asarray(self.reward_fn(completions, list(ground_truths)))
+        return {
+            "eval_reward_mean": float(rewards.mean()),
+            "eval_n": float(len(prompts)),
+        }
+
     # ------------------------------------------------------------------
     def train_step(
         self, prompts: List[List[dict]], ground_truths: List[str]

@@ -277,3 +277,77 @@ def test_grpo_dp_matches_single_device(tiny_model):
     for k in flat1:
         np.testing.assert_allclose(flat2[k], flat1[k], rtol=2e-3, atol=2e-5,
                                    err_msg=k)
+
+
+def _write_train_jsonl(path, n=4, with_completion=False):
+    import json as _json
+    rows = []
+    for i in range(n):
+        r = {"prompt": [{"role": "user", "content": f"rank docs case {i}"}],
+             "ground_truth": f"[{(i % 3) + 1}]"}
+        if with_completion:
+            r["completion"] = [
+                {"role": "assistant", "content": f"<answer>[{(i % 3) + 1}]</answer>"}
+            ]
+        rows.append(r)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+
+def _run_train_cli(tmp_path, cmd, extra):
+    import os
+    import subprocess
+    import sys
+
+    data = tmp_path / "data.jsonl"
+    if not data.exists():
+        _write_train_jsonl(str(data), with_completion=(cmd == "sft"))
+    args = [
+        sys.executable, "-c",
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['train'] + sys.argv[1:];"
+        "from llmrankers_tpu.cli.train import build_parser, main_grpo, main_sft;"
+        "a = build_parser().parse_args();"
+        "(main_grpo if a.cmd == 'grpo' else main_sft)(a)",
+        cmd,
+        "--model_name_or_path", "random:dec-tiny",
+        "--dataset", str(data),
+        "--output_dir", str(tmp_path / "ckpt"),
+        "--batch_size", "2", "--lora_r", "2", "--lora_alpha", "4",
+    ] + extra
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    res = subprocess.run(args, capture_output=True, text=True, env=env,
+                         cwd=str(tmp_path), timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    import json as _json
+    return [_json.loads(l) for l in res.stdout.splitlines()
+            if l.startswith("{")]
+
+
+@pytest.mark.parametrize("cmd,extra", [
+    ("sft", ["--max_length", "128"]),
+    ("grpo", ["--num_generations", "2", "--max_completion_length", "8",
+              "--max_prompt_length", "64"]),
+])
+def test_train_cli_resume_and_eval(tmp_path, cmd, extra):
+    """--resume continues from the newest checkpoint (TRL
+    resume_from_checkpoint parity, train_grpo.py:67) and --eval_dataset
+    reports a held-out metric at save points."""
+    eval_data = tmp_path / "eval.jsonl"
+    _write_train_jsonl(str(eval_data), n=2, with_completion=(cmd == "sft"))
+    extra = extra + ["--eval_dataset", str(eval_data)]
+
+    first = _run_train_cli(tmp_path, cmd,
+                           extra + ["--steps", "2", "--save_steps", "1"])
+    train_steps = [r["step"] for r in first if "elapsed_s" in r]
+    assert train_steps == [0, 1]
+    eval_key = "eval_loss" if cmd == "sft" else "eval_reward_mean"
+    assert any(eval_key in r for r in first)
+
+    second = _run_train_cli(tmp_path, cmd,
+                            extra + ["--steps", "4", "--save_steps", "2",
+                                     "--resume"])
+    train_steps = [r["step"] for r in second if "elapsed_s" in r]
+    assert train_steps == [2, 3], second  # resumed, not restarted
