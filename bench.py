@@ -1,38 +1,46 @@
-"""Headline benchmark: setwise-heapsort rerank throughput on one chip.
+"""Headline benchmark suite on one TPU chip.
 
-Workload mirrors the reference's README benchmark setting (README.md:
-256-279): BM25 top-100 rerank, setwise heapsort num_child=2 k=10,
-flan-t5-large-shaped model, 128-token passages / 16-token queries —
-random weights (zero-network environment), synthetic corpus with
-token counts matched to the DL19 configuration.
+North-star config (BASELINE.json / SURVEY.md §6): setwise-heapsort rerank
+of BM25 top-100, flan-t5-xl, with p50 rerank latency per query. The
+reference publishes no latency/throughput numbers (README prints per-query
+meters only, run.py:198-201), so `vs_baseline` compares against the
+reference's *execution model* — one query at a time, one batch-1 device
+dispatch per comparison (run.py:184-195 + setwise.py:200-232) — run on
+the SAME chip with the same scoring math. That baseline is conservative:
+the reference's actual stack (unbatched HF generate) does strictly more
+work per dispatch.
 
-Two executions of the same workload:
-  * batched   — this framework's wave-batched rerank_many (all queries'
-    comparisons share fixed-shape device batches);
-  * reference-style — the reference's execution model (run.py:184-195 +
-    setwise.py:200-232): one query at a time, one batch-1 device call per
-    comparison.
+Sections (env `BENCH_SECTIONS=xl,large,latency,gen,rankr1` to subset):
+  * xl       — flan-t5-xl throughput + MFU + sequential baseline (the
+               north-star row)
+  * large    — flan-t5-large throughput (README benchmark model) + baseline
+  * latency  — single-query p50/p99 rerank latency (flan-t5-large)
+  * gen      — setwise generation-mode (2-token decode) throughput
+  * rankr1   — Rank-R1-style long decode: Qwen2.5-3B-shaped decoder,
+               shared-prefix prefill + chunked generation, decode tok/s
 
-Prints ONE JSON line; vs_baseline = batched docs/sec over
-reference-style docs/sec on the SAME chip (the architectural speedup;
-the reference publishes no absolute latency numbers — BASELINE.md).
+Prints ONE JSON line; the headline metric is the xl throughput row.
+Weights are random (zero-network environment); token counts match the
+DL19 configuration (128-token passages, 16-token queries).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip peak (bf16)
 
-def build_workload(n_queries: int, n_docs: int, doc_tokens: int, qry_tokens: int):
+
+def build_workload(n_queries, n_docs, doc_tokens, qry_tokens):
     from llmrankers_tpu.types import SearchResult
 
     rng = np.random.RandomState(929)
     words = ["w%03d" % i for i in range(1000)]
 
     def text(n_tok):
-        # ~1 byte-token per char: sized chunks of letters.
         return " ".join(rng.choice(words, max(1, n_tok // 5)))
 
     queries = [text(qry_tokens) for _ in range(n_queries)]
@@ -43,32 +51,30 @@ def build_workload(n_queries: int, n_docs: int, doc_tokens: int, qry_tokens: int
     return queries, rankings
 
 
-def main():
+def n_params(params) -> int:
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def t5_throughput(cfg_name, cfg, n_queries, seq_queries, n_docs=100):
+    """Wave-batched rerank + reference-style sequential baseline."""
     import jax
     import jax.numpy as jnp
 
-    from llmrankers_tpu.utils.jaxcache import enable_persistent_cache
-
-    enable_persistent_cache()
-
     from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
     from llmrankers_tpu.models import t5
-    from llmrankers_tpu.models.config import T5Config
+    from llmrankers_tpu.models.config import T5Config  # noqa: F401 (doc)
     from llmrankers_tpu.rankers import SetwiseLlmRanker
+    from llmrankers_tpu.rankers.base import rerank_many_pipelined
 
-    cfg = T5Config.flan_t5_large()
     params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
-
-    N_QUERIES, N_DOCS = 64, 100
-    queries, rankings = build_workload(N_QUERIES, N_DOCS, 128, 16)
-
-    # ---- batched path ----------------------------------------------------
+    queries, rankings = build_workload(n_queries, n_docs, 128, 16)
     engine = ScoringEngine(
         "t5", cfg, params, tok,
         len_buckets=(512, 640, 1024), batch_buckets=(16, 32, 64, 256),
     )
-    from llmrankers_tpu.rankers.base import rerank_many_pipelined
 
     def make_ranker():
         return SetwiseLlmRanker(
@@ -76,24 +82,23 @@ def main():
         )
 
     ranker = make_ranker()
-    # Warm-up compile on one query.
-    ranker.rerank_many(queries[:1], [rankings[0][:]])
-    ranker.rerank_many(queries[:20], [list(r) for r in rankings[:20]])
+    ranker.rerank_many(queries[:1], [rankings[0][:]])  # compile warm-up
+    warm = min(16, n_queries)
+    ranker.rerank_many(queries[:warm], [list(r) for r in rankings[:warm]])
     t0 = time.perf_counter()
-    # Two cohorts overlap host packing with device compute (+8% on v5e).
     _, cohort_rankers = rerank_many_pipelined(
         make_ranker, queries, [list(r) for r in rankings], cohorts=2
     )
-    batched_s = time.perf_counter() - t0
-    batched_dps = N_QUERIES * N_DOCS / batched_s
-    total_compares = sum(r.total_compare for r in cohort_rankers)
+    wall = time.perf_counter() - t0
+    dps = n_queries * n_docs / wall
+    compares = sum(r.total_compare for r in cohort_rankers)
+    ptoks = sum(r.total_prompt_tokens for r in cohort_rankers)
+    # MFU estimate: matmul-dominated 2*N*tokens FLOPs over logical prompt
+    # tokens (ignores padding overhead and the O(L^2) attention term —
+    # ±15% at these lengths; an estimate, not a measurement).
+    mfu = 2.0 * n_params(params) * ptoks / wall / PEAK_BF16_FLOPS
 
-    # (The 'insertion' method is not benchmarked here: its comparison
-    # savings require a real model judging a correlated first-stage
-    # prior — random weights invert its behavior. See
-    # tests/test_algos.py::test_setwise_insertion_topk.)
-
-    # ---- reference-style path (batch-1, sequential) ----------------------
+    # Reference-style: one query at a time, batch-1 dispatch per compare.
     seq_engine = ScoringEngine(
         "t5", cfg, params, tok, len_buckets=(512, 640, 1024), batch_buckets=(1,),
     )
@@ -101,32 +106,167 @@ def main():
         seq_engine, num_child=2, k=10, scoring="likelihood", method="heapsort",
         max_wave_size=1,
     )
-    SEQ_QUERIES = 2
     seq_ranker.rerank_many(queries[:1], [rankings[0][:]])  # warm-up
     t0 = time.perf_counter()
-    for q in range(SEQ_QUERIES):
+    for q in range(seq_queries):
         seq_ranker.rerank_many([queries[q]], [list(rankings[q])])
-    seq_s = (time.perf_counter() - t0) / SEQ_QUERIES * N_QUERIES
-    seq_dps = N_QUERIES * N_DOCS / seq_s
+    seq_wall_per_q = (time.perf_counter() - t0) / seq_queries
+    seq_dps = n_docs / seq_wall_per_q
 
-    print(
-        json.dumps(
-            {
-                "metric": "setwise_heapsort_flan-t5-large_docs_per_sec",
-                "value": round(batched_dps, 2),
-                "unit": "docs/s/chip",
-                "vs_baseline": round(batched_dps / seq_dps, 2),
-                "detail": {
-                    "batched_wall_s": round(batched_s, 2),
-                    "reference_style_wall_s_est": round(seq_s, 2),
-                    "queries": N_QUERIES,
-                    "docs_per_query": N_DOCS,
-                    "comparisons": total_compares,
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
+    return {
+        "docs_per_sec": round(dps, 2),
+        "speedup_vs_reference_style": round(dps / seq_dps, 2),
+        "wall_s": round(wall, 2),
+        "seq_wall_s_per_query": round(seq_wall_per_q, 3),
+        "seq_queries_timed": seq_queries,
+        "queries": n_queries,
+        "comparisons": compares,
+        "mfu_est": round(mfu, 4),
+        "model": cfg_name,
+    }
+
+
+def t5_latency(cfg, n_queries=16, n_docs=100):
+    """Single-query rerank latency (one query per call, waves still batch
+    the intra-query comparisons). p50/p99 over n_queries runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
+    from llmrankers_tpu.models import t5
+    from llmrankers_tpu.rankers import SetwiseLlmRanker
+
+    params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tok = ByteTokenizer(cfg.vocab_size)
+    queries, rankings = build_workload(n_queries, n_docs, 128, 16)
+    engine = ScoringEngine(
+        "t5", cfg, params, tok,
+        len_buckets=(512, 640, 1024), batch_buckets=(16, 32, 64, 256),
     )
+    ranker = SetwiseLlmRanker(
+        engine, num_child=2, k=10, scoring="likelihood", method="heapsort"
+    )
+    ranker.rerank_many(queries[:1], [rankings[0][:]])  # warm-up
+    ranker.rerank_many(queries[1:2], [rankings[1][:]])
+    lats = []
+    for q in range(n_queries):
+        t0 = time.perf_counter()
+        ranker.rerank(queries[q], list(rankings[q]))
+        lats.append(time.perf_counter() - t0)
+    return {
+        "p50_s": round(float(np.percentile(lats, 50)), 3),
+        "p99_s": round(float(np.percentile(lats, 99)), 3),
+        "queries": n_queries,
+    }
+
+
+def t5_generation(cfg, n_queries=8, n_docs=100):
+    """Setwise generation scoring (2-token decode per comparison)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
+    from llmrankers_tpu.models import t5
+    from llmrankers_tpu.rankers import SetwiseLlmRanker
+
+    params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tok = ByteTokenizer(cfg.vocab_size)
+    queries, rankings = build_workload(n_queries, n_docs, 128, 16)
+    engine = ScoringEngine(
+        "t5", cfg, params, tok,
+        len_buckets=(512, 640, 1024), batch_buckets=(16, 32, 64, 256),
+    )
+    ranker = SetwiseLlmRanker(
+        engine, num_child=2, k=10, scoring="generation", method="heapsort"
+    )
+    ranker.rerank_many(queries[:1], [rankings[0][:]])
+    t0 = time.perf_counter()
+    ranker.rerank_many(queries[1:], [list(r) for r in rankings[1:]])
+    wall = time.perf_counter() - t0
+    return {"docs_per_sec": round((n_queries - 1) * n_docs / wall, 2),
+            "queries": n_queries - 1}
+
+
+def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128):
+    """Rank-R1-style long generation on a Qwen2.5-3B-shaped decoder:
+    shared-prefix prefill (instruction+query head shared across the
+    batch, vLLM prefix-caching equivalent) + chunked greedy decode with
+    host stop checking. Reports prefill and decode token throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
+    from llmrankers_tpu.models import decoder as dec_mod
+    from llmrankers_tpu.models.config import DecoderConfig
+
+    cfg = DecoderConfig.qwen25_3b()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tok = ByteTokenizer(cfg.vocab_size)
+    engine = ScoringEngine("decoder", cfg, params, tok)
+
+    rng = np.random.RandomState(929)
+    pre = rng.randint(2, 30000, n_prefix).tolist()
+    rows = [pre + rng.randint(2, 30000, n_suffix).tolist() for _ in range(batch)]
+
+    # Warm-up compile (same shapes, 1 decode chunk).
+    engine.generate(rows, max_new_tokens=64, chunk_tokens=64,
+                    stop_strings=("</answer>",))
+    t0 = time.perf_counter()
+    _, ntoks = engine.generate(rows, max_new_tokens=new_tokens,
+                               chunk_tokens=64, stop_strings=("</answer>",))
+    wall = time.perf_counter() - t0
+    prompt_tokens = sum(len(r) for r in rows)
+    gen_tokens = sum(ntoks)
+    return {
+        "model": "qwen2.5-3b-shape",
+        "batch": batch,
+        "prompt_tokens": prompt_tokens,
+        "gen_tokens": gen_tokens,
+        "wall_s": round(wall, 2),
+        "tokens_per_sec_total": round((prompt_tokens + gen_tokens) / wall, 1),
+        "prefix_shared": engine.prefix_share,
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from llmrankers_tpu.models.config import T5Config
+    from llmrankers_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    sections = os.environ.get(
+        "BENCH_SECTIONS", "xl,large,latency,gen,rankr1"
+    ).split(",")
+    detail = {"device": str(jax.devices()[0])}
+
+    if "large" in sections:
+        detail["large"] = t5_throughput(
+            "flan-t5-large", T5Config.flan_t5_large(), n_queries=64, seq_queries=8
+        )
+    if "latency" in sections:
+        detail["latency_large"] = t5_latency(T5Config.flan_t5_large())
+    if "gen" in sections:
+        detail["gen_large"] = t5_generation(T5Config.flan_t5_large())
+    if "rankr1" in sections:
+        detail["rankr1"] = rankr1_decode()
+    xl = None
+    if "xl" in sections:
+        xl = t5_throughput(
+            "flan-t5-xl", T5Config.flan_t5_xl(), n_queries=32, seq_queries=8
+        )
+        detail["xl"] = xl
+
+    head = xl or detail.get("large") or {"docs_per_sec": 0,
+                                         "speedup_vs_reference_style": 0}
+    print(json.dumps({
+        "metric": "setwise_heapsort_%s_docs_per_sec" % head.get("model", "na"),
+        "value": head["docs_per_sec"],
+        "unit": "docs/s/chip",
+        "vs_baseline": head["speedup_vs_reference_style"],
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

@@ -110,8 +110,54 @@ class ScoringEngine:
         else:
             pspecs = mesh_mod.decoder_param_pspecs(params)
         self.params = mesh_mod.shard_params(params, pspecs, self.mesh)
+        self._pspecs = pspecs
         self._data_sharding = NamedSharding(self.mesh, P("data"))
         self._repl = NamedSharding(self.mesh, P())
+        # Named LoRA adapters served from one engine (vLLM LoRARequest
+        # parity, setwise.py:494-497): raw adapter pytrees registered via
+        # add_adapter; merged params materialized on device lazily.
+        self._adapters: Dict[str, Any] = {}
+        self._adapter_params: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Multi-adapter serving
+    # ------------------------------------------------------------------
+    def add_adapter(self, name: str, adapter, lcfg=None) -> None:
+        """Register a LoRA adapter under ``name``.
+
+        ``adapter`` is a PEFT checkpoint directory (adapter_config.json +
+        adapter_model.safetensors) or an adapter pytree (then ``lcfg`` is
+        required). Requests select it via the ``adapter=`` argument of
+        score_labels/sequence_nll/generate; merged weights are cached per
+        adapter so switching costs one einsum+add the first time only.
+        """
+        from ..train import lora as lora_mod
+
+        if isinstance(adapter, str):
+            adapter, lcfg = lora_mod.load_peft_adapter(adapter, self.params)
+        elif lcfg is None:
+            raise ValueError("lcfg required when passing an adapter pytree")
+        self._adapters[name] = (adapter, lcfg)
+        self._adapter_params.pop(name, None)
+
+    def _params_for(self, adapter: Optional[str]):
+        if adapter is None:
+            return self.params
+        if adapter not in self._adapter_params:
+            from ..train import lora as lora_mod
+
+            try:
+                raw, lcfg = self._adapters[adapter]
+            except KeyError:
+                raise KeyError(
+                    f"unknown adapter {adapter!r}; registered: "
+                    f"{sorted(self._adapters)}"
+                ) from None
+            merged = jax.jit(functools.partial(lora_mod.merge, cfg=lcfg))(self.params, raw)
+            self._adapter_params[adapter] = mesh_mod.shard_params(
+                merged, self._pspecs, self.mesh
+            )
+        return self._adapter_params[adapter]
 
     # ------------------------------------------------------------------
     # Host-side padding/bucketing
@@ -184,10 +230,12 @@ class ScoringEngine:
         label_ids: Sequence[int],
         decoder_prefix: Sequence[int] = (),
         stats: Optional[BatchStats] = None,
+        adapter: Optional[str] = None,
     ) -> np.ndarray:
         """[N, K] fp32 logits of each label token at the first free
         decoder position (T5: after the forced prefix, setwise.py:179-188;
         decoder-only: after the prompt's last real token)."""
+        pp = self._params_for(adapter)
         out = np.zeros((len(prompt_rows), len(label_ids)), np.float32)
         labels = tuple(int(x) for x in label_ids)
         prefix = tuple(int(x) for x in decoder_prefix)
@@ -201,7 +249,7 @@ class ScoringEngine:
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk)
                 fn = self._get_jit("t5_labels", ids.shape, labels, prefix)
-                pending.append((off, n, fn(self.params, *self._put(ids, mask))))
+                pending.append((off, n, fn(pp, *self._put(ids, mask))))
                 continue
             grp = self._group(chunk)
             if grp is not None:
@@ -209,11 +257,11 @@ class ScoringEngine:
                 fn = self._get_jit(
                     "dec_labels_shared", (args[0].shape, args[3].shape), labels
                 )
-                pending.append((off, n, fn(self.params, *args)))
+                pending.append((off, n, fn(pp, *args)))
             else:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_labels", ids.shape, labels, prefix)
-                pending.append((off, n, fn(self.params, *self._put(ids, mask))))
+                pending.append((off, n, fn(pp, *self._put(ids, mask))))
         for off, n, res in pending:
             out[off : off + n] = np.asarray(res)[:n]
         return out
@@ -226,6 +274,7 @@ class ScoringEngine:
         prompt_rows: List[List[int]],
         target_rows: List[List[int]],
         stats: Optional[BatchStats] = None,
+        adapter: Optional[str] = None,
     ) -> np.ndarray:
         """[N] fp32 = sum over target positions of CE(logits, target).
 
@@ -234,6 +283,7 @@ class ScoringEngine:
         targets; no position is ignored.
         """
         assert self.kind == "t5", "qlm scoring is a T5 path (pointwise.py:19-26)"
+        pp = self._params_for(adapter)
         out = np.zeros((len(prompt_rows),), np.float32)
         idx = list(range(len(prompt_rows)))
         for off, chunk in self._chunks(prompt_rows):
@@ -253,7 +303,7 @@ class ScoringEngine:
                 )
             fn = self._get_jit("t5_nll", (ids.shape, tgt.shape))
             ids_d, mask_d = self._put(ids, mask)
-            res = fn(self.params, ids_d, mask_d, jnp.asarray(tgt), jnp.asarray(tw))
+            res = fn(pp, ids_d, mask_d, jnp.asarray(tgt), jnp.asarray(tw))
             out[off : off + n] = np.asarray(res)[:n]
         return out
 
@@ -268,6 +318,7 @@ class ScoringEngine:
         stop_strings: Sequence[str] = (),
         chunk_tokens: Optional[int] = None,
         stats: Optional[BatchStats] = None,
+        adapter: Optional[str] = None,
     ) -> Tuple[List[str], List[int]]:
         """Greedy generation; returns (decoded completions, per-row new
         token counts up to and including EOS).
@@ -278,6 +329,7 @@ class ScoringEngine:
         budget stops as soon as every row has emitted "</answer>"
         (SURVEY.md §7 hard part #3).
         """
+        pp = self._params_for(adapter)
         results: List[str] = [""] * len(prompt_rows)
         ntokens: List[int] = [0] * len(prompt_rows)
         prefix = tuple(int(x) for x in decoder_prefix)
@@ -291,7 +343,7 @@ class ScoringEngine:
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk)
                 fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
-                toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
+                toks = np.asarray(fn(pp, *self._put(ids, mask)))[:n]
             elif grp is not None:
                 n, args = grp
                 B = args[3].shape[0]
@@ -299,26 +351,26 @@ class ScoringEngine:
                 shapes = (args[0].shape, args[3].shape)
                 if chunked:
                     fn = self._get_jit("dec_prefill_shared", shapes, max_new_tokens)
-                    tok, cache = fn(self.params, *args)
+                    tok, cache = fn(pp, *args)
                     toks = self._decode_chunked(
-                        tok, cache, B, prompt_len, n,
+                        pp, tok, cache, B, prompt_len, n,
                         max_new_tokens, chunk_tokens, stop_strings,
                     )
                 else:
                     fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
-                    toks = np.asarray(fn(self.params, *args))[:n]
+                    toks = np.asarray(fn(pp, *args))[:n]
             elif chunked:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
-                tok, cache = prefill(self.params, *self._put(ids, mask))
+                tok, cache = prefill(pp, *self._put(ids, mask))
                 toks = self._decode_chunked(
-                    tok, cache, B, ids.shape[1], n,
+                    pp, tok, cache, B, ids.shape[1], n,
                     max_new_tokens, chunk_tokens, stop_strings,
                 )
             else:
                 ids, mask, n, B = self._pad_batch_left(chunk)
                 fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
-                toks = np.asarray(fn(self.params, *self._put(ids, mask)))[:n]
+                toks = np.asarray(fn(pp, *self._put(ids, mask)))[:n]
             # The device fills frozen rows with cfg.pad_token_id (which can
             # differ from the tokenizer's pad, e.g. Qwen2); strip both.
             pad_ids = {self.tokenizer.pad_id, int(self.cfg.pad_token_id)}
@@ -347,6 +399,7 @@ class ScoringEngine:
 
     def _decode_chunked(
         self,
+        pp,
         tok,
         cache,
         B: int,
@@ -370,7 +423,7 @@ class ScoringEngine:
             if steps < chunk_tokens:
                 chunk_fn = self._get_jit("dec_chunk", B, L, steps)
             out, tok, cache, done = chunk_fn(
-                self.params, tok, cache, jnp.int32(offset), done
+                pp, tok, cache, jnp.int32(offset), done
             )
             pieces.append(np.asarray(out))
             offset += steps

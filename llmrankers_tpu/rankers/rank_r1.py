@@ -44,8 +44,11 @@ class RankR1SetwiseLlmRanker(EngineRanker):
         seed: int = 929,
         verbose: bool = False,
         max_wave_size: Optional[int] = None,
+        adapter: Optional[str] = None,  # engine adapter name (vLLM
+        # LoRARequest parity, setwise.py:494-497); None = base weights
     ):
         super().__init__(engine, max_wave_size)
+        self.adapter = adapter
         if scoring != "generation":
             raise NotImplementedError(
                 "RankR1SetwiseLlmRanker only supports 'generation' scoring"
@@ -126,7 +129,8 @@ class RankR1SetwiseLlmRanker(EngineRanker):
 
         pattern = rf"{self.prompt['pattern']}"
         texts, ntoks = self.engine.generate(
-            rows, self.max_completion_tokens, stop_strings=("</answer>",)
+            rows, self.max_completion_tokens, stop_strings=("</answer>",),
+            adapter=self.adapter,
         )
 
         out: List[int] = []
@@ -176,8 +180,10 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         max_completion_tokens: int = 2048,
         verbose: bool = False,
         max_wave_size: Optional[int] = None,
+        adapter: Optional[str] = None,  # engine adapter name; None = base
     ):
         super().__init__(engine, max_wave_size)
+        self.adapter = adapter
         if engine.kind != "decoder":
             raise ValueError("Rank-R1 rankers run on decoder-only chat models")
         with open(prompt_file, "rb") as f:
@@ -218,7 +224,8 @@ class RankR1ListwiseLlmRanker(EngineRanker):
             self._query_stats[r.qidx].prompt_tokens += len(ids)
             rows.append(ids)
         pattern = rf"{self.prompt['pattern']}"
-        texts, ntoks = self.engine.generate(rows, self.max_completion_tokens)
+        texts, ntoks = self.engine.generate(rows, self.max_completion_tokens,
+                                    adapter=self.adapter)
         out = []
         for r, text, nt in zip(requests, texts, ntoks):
             self._query_stats[r.qidx].completion_tokens += nt

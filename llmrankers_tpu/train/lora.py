@@ -5,11 +5,18 @@ r=16, alpha=32, target q/k/v/o/gate/up/down) and vLLM's LoRARequest
 application (setwise.py:450-454, 494-497). Adapters live beside the frozen
 base params; ``merge`` folds them in (inference), and training
 differentiates through ``merge`` with respect to the adapter leaves only.
+
+Layouts:
+  * decoder-only params ({"layers": ...}): flat adapter
+    {target: {"a": [L, in, r], "b": [L, r, out]}};
+  * T5 params ({"encoder"/"decoder": {"layers": ...}}): nested adapter
+    {"encoder": {target: ab}, "decoder": {target: ab}} — decoder targets
+    may include cross-attention ("cq", "ck", "cv", "co").
 """
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,82 +37,160 @@ class LoraConfig:
         return self.alpha / self.r
 
 
+def _is_t5(params: Dict[str, Any]) -> bool:
+    return "encoder" in params and "layers" not in params
+
+
+def _subtrees(params: Dict[str, Any]) -> List[Tuple[Optional[str], Dict[str, Any]]]:
+    """(adapter key, stacked-layer dict) pairs; key None = flat layout."""
+    if _is_t5(params):
+        return [("encoder", params["encoder"]["layers"]),
+                ("decoder", params["decoder"]["layers"])]
+    return [(None, params["layers"])]
+
+
+def _init_one(layers: Dict[str, Any], targets, cfg, keys, dtype):
+    out: Dict[str, Any] = {}
+    for name in targets:
+        w = layers[name]
+        L, d_in, _ = w.shape
+        out[name] = {
+            "a": (jax.random.normal(next(keys), (L, d_in, cfg.r)) * 0.02).astype(dtype),
+            "b": jnp.zeros((L, cfg.r, w.shape[2]), dtype),
+        }
+    return out
+
+
 def init_lora(
     params: Dict[str, Any], cfg: LoraConfig, key: jax.Array, dtype=jnp.float32
 ) -> Dict[str, Any]:
     """A ~ N(0, 0.02), B = 0 (standard LoRA init: adapter starts as a
     no-op). Shapes follow the stacked [L, in, out] layer leaves."""
+    keys = iter(jax.random.split(key, 4 * len(cfg.targets)))
+    if not _is_t5(params):
+        return _init_one(params["layers"], cfg.targets, cfg, keys, dtype)
     lora: Dict[str, Any] = {}
-    keys = iter(jax.random.split(key, len(cfg.targets)))
-    for name in cfg.targets:
-        w = params["layers"][name]
-        L, d_in, d_out = w.shape
-        lora[name] = {
-            "a": (jax.random.normal(next(keys), (L, d_in, cfg.r)) * 0.02).astype(dtype),
-            "b": jnp.zeros((L, cfg.r, d_out), dtype),
-        }
+    for sub, layers in _subtrees(params):
+        targets = [t for t in cfg.targets if t in layers]
+        lora[sub] = _init_one(layers, targets, cfg, keys, dtype)
     return lora
+
+
+def _merge_one(layers: Dict[str, Any], ab_map: Dict[str, Any], scale: float):
+    out = dict(layers)
+    for name, ab in ab_map.items():
+        delta = jnp.einsum(
+            "lir,lro->lio", ab["a"], ab["b"], preferred_element_type=jnp.float32
+        ) * scale
+        out[name] = out[name] + delta.astype(out[name].dtype)
+    return out
 
 
 def merge(params: Dict[str, Any], lora: Dict[str, Any], cfg: LoraConfig) -> Dict[str, Any]:
     """W' = W + (alpha/r) * A @ B, per stacked layer leaf. Differentiable
     w.r.t. the adapter, so training treats base params as constants."""
-    layers = dict(params["layers"])
-    for name, ab in lora.items():
-        delta = jnp.einsum(
-            "lir,lro->lio", ab["a"], ab["b"], preferred_element_type=jnp.float32
-        ) * cfg.scale
-        layers[name] = layers[name] + delta.astype(layers[name].dtype)
     out = dict(params)
-    out["layers"] = layers
+    if _is_t5(params):
+        for sub in ("encoder", "decoder"):
+            if sub in lora and lora[sub]:
+                tree = dict(out[sub])
+                tree["layers"] = _merge_one(out[sub]["layers"], lora[sub], cfg.scale)
+                out[sub] = tree
+        return out
+    out["layers"] = _merge_one(params["layers"], lora, cfg.scale)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PEFT-format checkpoint loading
+# ---------------------------------------------------------------------------
+# decoder-only (Llama/Qwen): base_model.model.model.layers.{i}.self_attn.q_proj
+_DEC_NAME_MAP = {
+    "q_proj": "wq", "k_proj": "wk", "v_proj": "wv", "o_proj": "wo",
+    "gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down",
+}
+# T5: {encoder|decoder}.block.{i}.layer.{j}.{SelfAttention|EncDecAttention}.{q,k,v,o}
+_T5_SELF = {n: n for n in T5_TARGETS}
+_T5_CROSS = {n: "c" + n for n in T5_TARGETS}
+
+
+def _load_sd(path: str) -> Dict[str, np.ndarray]:
+    import os
+
+    from safetensors import safe_open
+
+    sd = {}
+    f = safe_open(os.path.join(path, "adapter_model.safetensors"), framework="numpy")
+    for k in f.keys():
+        sd[k] = f.get_tensor(k)
+    return sd
+
+
+def _stack(sd, match, n_layers, dtype):
+    a_stack, b_stack = [], []
+    for i in range(n_layers):
+        a_key = next((k for k in sd if match(k, i, "lora_A")), None)
+        b_key = next((k for k in sd if match(k, i, "lora_B")), None)
+        if a_key is None or b_key is None:
+            return None
+        # PEFT stores lora_A [r, in], lora_B [out, r] (torch layout).
+        a_stack.append(sd[a_key].T)
+        b_stack.append(sd[b_key].T)
+    return np.stack(a_stack), np.stack(b_stack)
 
 
 def load_peft_adapter(path: str, params: Dict[str, Any], dtype=jnp.float32):
     """Load a PEFT-format LoRA checkpoint directory (adapter_config.json +
     adapter_model.safetensors) into our stacked-pytree layout.
 
+    Supports decoder-only (Llama/Qwen `*_proj` modules — the published
+    Rank-R1 adapters) and T5 (SelfAttention/EncDecAttention q/k/v/o).
     Mirrors the HF-hub adapter resolution of the reference
     (setwise.py:429-439) minus the network download.
     """
     import json
     import os
 
-    from safetensors import safe_open
-
     with open(os.path.join(path, "adapter_config.json")) as f:
         acfg = json.load(f)
     r, alpha = acfg["r"], acfg["lora_alpha"]
-    name_map = {
-        "q_proj": "wq", "k_proj": "wk", "v_proj": "wv", "o_proj": "wo",
-        "gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down",
-    }
-    sd = {}
-    f = safe_open(os.path.join(path, "adapter_model.safetensors"), framework="numpy")
-    for k in f.keys():
-        sd[k] = f.get_tensor(k)
+    sd = _load_sd(path)
+
+    if _is_t5(params):
+        lora: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+        targets = []
+        for sub in ("encoder", "decoder"):
+            n_layers = params[sub]["layers"]["q"].shape[0]
+            attn_maps = [("SelfAttention", _T5_SELF)]
+            if sub == "decoder":
+                attn_maps.append(("EncDecAttention", _T5_CROSS))
+            for mod, nmap in attn_maps:
+                for hf_name, ours in nmap.items():
+                    def match(k, i, ab, _m=mod, _h=hf_name, _s=sub):
+                        return (k.startswith(f"base_model.model.{_s}.") or f".{_s}." in k) \
+                            and f"block.{i}." in k and f"{_m}.{_h}.{ab}" in k
+                    st = _stack(sd, match, n_layers, dtype)
+                    if st is None:
+                        continue
+                    targets.append(ours)
+                    lora[sub][ours] = {
+                        "a": jnp.asarray(st[0], dtype=dtype),
+                        "b": jnp.asarray(st[1], dtype=dtype),
+                    }
+        return lora, LoraConfig(r=r, alpha=alpha, targets=tuple(targets))
 
     n_layers = params["layers"]["wq"].shape[0]
-    lora: Dict[str, Any] = {}
+    lora = {}
     targets = []
-    for hf_name, ours in name_map.items():
-        a_fmt = None
-        for k in sd:
-            if f".{hf_name}.lora_A" in k:
-                a_fmt = k
-                break
-        if a_fmt is None:
+    for hf_name, ours in _DEC_NAME_MAP.items():
+        def match(k, i, ab, _h=hf_name):
+            return f"layers.{i}." in k and f"{_h}.{ab}" in k
+        st = _stack(sd, match, n_layers, dtype)
+        if st is None:
             continue
         targets.append(ours)
-        a_stack, b_stack = [], []
-        for i in range(n_layers):
-            a_key = next(k for k in sd if f"layers.{i}." in k and f"{hf_name}.lora_A" in k)
-            b_key = next(k for k in sd if f"layers.{i}." in k and f"{hf_name}.lora_B" in k)
-            # PEFT stores lora_A [r, in], lora_B [out, r] (torch layout).
-            a_stack.append(sd[a_key].T)
-            b_stack.append(sd[b_key].T)
         lora[ours] = {
-            "a": jnp.asarray(np.stack(a_stack), dtype=dtype),
-            "b": jnp.asarray(np.stack(b_stack), dtype=dtype),
+            "a": jnp.asarray(st[0], dtype=dtype),
+            "b": jnp.asarray(st[1], dtype=dtype),
         }
     return lora, LoraConfig(r=r, alpha=alpha, targets=tuple(targets))

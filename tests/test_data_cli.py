@@ -153,7 +153,8 @@ def test_rank_r1_extraction_and_vote(tmp_path):
             self.tokenizer = ByteTokenizer()
 
         def generate(self, rows, max_new_tokens, decoder_prefix=(),
-                     stop_strings=(), chunk_tokens=None, stats=None):
+                     stop_strings=(), chunk_tokens=None, stats=None,
+                     adapter=None):
             texts, ntoks = [], []
             for row in rows:
                 text = self.tokenizer.decode(row)
@@ -244,7 +245,8 @@ def test_rank_r1_insertion_method():
             self.tokenizer = ByteTokenizer()
 
         def generate(self, rows, max_new_tokens, decoder_prefix=(),
-                     stop_strings=(), chunk_tokens=None, stats=None):
+                     stop_strings=(), chunk_tokens=None, stats=None,
+                     adapter=None):
             texts, ntoks = [], []
             for row in rows:
                 text = self.tokenizer.decode(row)

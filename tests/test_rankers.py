@@ -72,7 +72,7 @@ class OracleEngine:
         return np.asarray([self._doc_scores(r)[0] for r in rows], np.float32)
 
     def generate(self, rows, max_new_tokens, decoder_prefix=(), stop_strings=(),
-                 chunk_tokens=None, stats=None):
+                 chunk_tokens=None, stats=None, adapter=None):
         self.calls += 1
         texts, ntoks = [], []
         chars = "ABCDEFGHIJKLMNOPQRSTUVW"
