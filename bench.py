@@ -93,10 +93,21 @@ def t5_throughput(cfg_name, cfg, n_queries, seq_queries, n_docs=100):
     dps = n_queries * n_docs / wall
     compares = sum(r.total_compare for r in cohort_rankers)
     ptoks = sum(r.total_prompt_tokens for r in cohort_rankers)
-    # MFU estimate: matmul-dominated 2*N*tokens FLOPs over logical prompt
-    # tokens (ignores padding overhead and the O(L^2) attention term —
-    # ±15% at these lengths; an estimate, not a measurement).
-    mfu = 2.0 * n_params(params) * ptoks / wall / PEAK_BF16_FLOPS
+    # Useful-FLOP MFU estimate. Prompt tokens run the ENCODER (plus the
+    # decoder's cross K/V projections); the decoder body only sees the
+    # 2-token forced prefix per comparison. Ignores padding overhead and
+    # the O(L^2) attention term (±15% at these lengths) — an estimate,
+    # not a measurement.
+    # Embeddings are lookups (no FLOPs); the LM head runs only over the
+    # label columns (label_logits) — both excluded.
+    enc_p = n_params(params["encoder"])
+    dec_p = n_params(params["decoder"])
+    lyr = params["decoder"]["layers"]
+    ckcv = int(np.prod(lyr["ck"].shape)) + int(np.prod(lyr["cv"].shape))
+    flops = 2.0 * (
+        (enc_p + ckcv) * ptoks + (dec_p - ckcv) * 2 * compares
+    )
+    mfu = flops / wall / PEAK_BF16_FLOPS
 
     # Reference-style: one query at a time, batch-1 dispatch per compare.
     seq_engine = ScoringEngine(
@@ -139,12 +150,19 @@ def t5_latency(cfg, n_queries=16, n_docs=100):
     params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
     queries, rankings = build_workload(n_queries, n_docs, 128, 16)
+    # Small batch buckets: an isolated query's pop phase issues waves of
+    # ONE comparison; padding those to 16 rows doubles p50.
     engine = ScoringEngine(
         "t5", cfg, params, tok,
-        len_buckets=(512, 640, 1024), batch_buckets=(16, 32, 64, 256),
+        len_buckets=(512, 640, 1024), batch_buckets=(1, 2, 4, 8, 16, 64),
     )
+    # Speculative pops: each sift-down issues its whole (depth-3) descent
+    # subtree as one wave — identical results, ~2x fewer sequential
+    # dispatches for an isolated query (the extra comparisons ride along
+    # in otherwise tiny waves).
     ranker = SetwiseLlmRanker(
-        engine, num_child=2, k=10, scoring="likelihood", method="heapsort"
+        engine, num_child=2, k=10, scoring="likelihood", method="heapsort",
+        spec_depth=3,
     )
     ranker.rerank_many(queries[:1], [rankings[0][:]])  # warm-up
     ranker.rerank_many(queries[1:2], [rankings[1][:]])

@@ -64,33 +64,108 @@ def _levels(n: int, num_child: int) -> List[List[int]]:
     return [buckets[d] for d in sorted(buckets, reverse=True)]
 
 
+async def _spec_sift_down(
+    runner: WaveRunner,
+    arr: List[Any],
+    n: int,
+    i: int,
+    num_child: int,
+    compare: SetCompare,
+    depth: int,
+) -> None:
+    """Sift-down with ``depth``-level speculation.
+
+    The value ``v`` descending from node ``i`` is invariant along the
+    path, and nodes below the path are untouched until the path reaches
+    them — so the comparison at ANY node m of the descent subtree is
+    ``[v] + arr[children(m)]``, fully known before any outcome. Each
+    round issues the comparisons of up to ``depth`` subtree levels as one
+    concurrent gather (one wave), then walks the outcomes host-side,
+    discarding the branches not taken. Outcomes on the taken path are
+    bit-identical to the sequential sift (setwise.py:200-217); only the
+    device schedule (and the number of issued comparisons) changes.
+
+    Latency: a pop completes in ceil(path_len / depth) waves instead of
+    path_len. Cost: ~num_child^depth speculative comparisons per round —
+    the throughput/latency knob for isolated queries.
+    """
+    while num_child * i + 1 < n:
+        nodes: List[int] = []
+        frontier = [i]
+        for _ in range(max(depth, 1)):
+            nxt: List[int] = []
+            for m in frontier:
+                if num_child * m + 1 < n:
+                    nodes.append(m)
+                    nxt.extend(
+                        range(num_child * m + 1, min(num_child * (m + 1) + 1, n))
+                    )
+            frontier = nxt
+        outs = await runner.gather(
+            [
+                compare(
+                    [arr[i]]
+                    + arr[num_child * m + 1 : min(num_child * (m + 1) + 1, n)]
+                )
+                for m in nodes
+            ]
+        )
+        out_by_node = dict(zip(nodes, outs))
+        cur = i
+        while cur in out_by_node:
+            lo = num_child * cur + 1
+            hi = min(num_child * (cur + 1) + 1, n)
+            inds = [cur] + list(range(lo, hi))
+            best = out_by_node[cur]
+            largest = inds[best] if 0 <= best < len(inds) else cur
+            if largest == cur:
+                return
+            arr[cur], arr[largest] = arr[largest], arr[cur]
+            cur = largest
+        i = cur  # path outran the speculated depth: next round
+
+
 async def heapsort(
     runner: WaveRunner,
     arr: List[Any],
     k: int,
     num_child: int,
     compare: SetCompare,
+    spec_depth: int = 1,
 ) -> List[Any]:
     """Partial multi-child max-heapsort; top-k land at the array tail
     (reference heapSort, setwise.py:219-232). Returns ``arr`` reversed so
-    the best element is first, as rerank() consumes it (setwise.py:240)."""
+    the best element is first, as rerank() consumes it (setwise.py:240).
+
+    ``spec_depth`` > 1 enables speculative pops (see _spec_sift_down):
+    identical results, ~spec_depth x fewer sequential waves per pop, at
+    the cost of extra (discarded) comparisons — worth it for isolated
+    low-latency queries where waves are far from full."""
     n = len(arr)
-    # Build phase: one wave of independent sift-down chains per tree depth.
+
+    def sift(i: int, size: int):
+        if spec_depth > 1:
+            return _spec_sift_down(
+                runner, arr, size, i, num_child, compare, spec_depth
+            )
+        return _heapify_chain(arr, size, i, num_child, compare)
+
+    # Build phase: one wave of independent sift-down chains per tree depth
+    # (speculation additionally collapses each chain's descent rounds).
     for level in _levels(n, num_child):
         if len(level) == 1:
-            await _heapify_chain(arr, n, level[0], num_child, compare)
+            await sift(level[0], n)
         else:
-            await runner.gather(
-                [_heapify_chain(arr, n, i, num_child, compare) for i in level]
-            )
-    # Pop phase: inherently sequential per query; batches across queries.
+            await runner.gather([sift(i, n) for i in level])
+    # Pop phase: inherently sequential per query; batches across queries
+    # (and across speculated levels when spec_depth > 1).
     ranked = 0
     for i in range(n - 1, 0, -1):
         arr[i], arr[0] = arr[0], arr[i]
         ranked += 1
         if ranked == k:
             break
-        await _heapify_chain(arr, i, 0, num_child, compare)
+        await sift(0, i)
     return list(reversed(arr))
 
 

@@ -91,6 +91,10 @@ def build_parsers():
                     choices=["heapsort", "bubblesort", "insertion"])
     sw.add_argument("--k", type=int, default=10)
     sw.add_argument("--num_permutation", type=int, default=1)
+    sw.add_argument("--speculative_depth", type=int, default=1,
+                    help="heap-pop speculation depth (>1 batches the "
+                         "descent subtree into one wave; identical "
+                         "results, lower latency, more comparisons)")
     sw.add_argument("--prompt_file", type=str, default=None,
                     help="TOML prompt pack -> Rank-R1 reasoning ranker")
     sw.add_argument("--lora_name_or_path", type=str, default=None)
@@ -249,6 +253,7 @@ def make_ranker(args, engine):
             method=args.setwise.method,
             num_permutation=args.setwise.num_permutation,
             seed=args.run.seed,
+            spec_depth=args.setwise.speculative_depth,
         )
     if args.pairwise:
         if "duot5" in model_name:

@@ -76,13 +76,19 @@ class ScoringEngine:
         import os
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
-        # Multi-device meshes run the kernel under shard_map (batch over
-        # 'data', heads over 'model' — ops/flash.py), matching the TP
-        # layout the param pspecs induce. LLMRANKERS_NO_FLASH=1 opts out.
+        # Flash policy, measured on v5e (see docs/ARCHITECTURE.md §4):
+        # the kernel beats XLA as a standalone op everywhere, but inside
+        # the T5 encoder the custom-call boundary costs more fusion than
+        # the kernel saves (xl: 892ms vs 831ms full-encode) — so 'auto'
+        # enables it for decoder prefill (causal long-seq, +5% end to
+        # end) and leaves T5 on XLA's fused attention. Multi-device
+        # meshes run the kernel under shard_map (batch over 'data',
+        # heads over 'model'). LLMRANKERS_NO_FLASH=1 opts out.
         _no = os.environ.get("LLMRANKERS_NO_FLASH") == "1"
         if use_flash == "on" or (
             use_flash == "auto"
             and jax.default_backend() == "tpu"
+            and kind != "t5"
             and not _no
         ):
             cfg = dataclasses.replace(
@@ -205,16 +211,46 @@ class ScoringEngine:
             sids_d, smask_d,
         )
 
-    def _chunks(self, rows: List[List[int]]):
-        """Split an oversized wave so B*L stays under max_batch_tokens."""
+    def _chunks(self, rows: List[List[int]], row_limit: Optional[int] = None):
+        """Split an oversized wave so B*L stays under max_batch_tokens
+        (and under ``row_limit`` when the caller has a per-row memory
+        estimate, e.g. the T5 generate path's cross-K/V cache)."""
         if not rows:
             return
         max_len = max(len(r) for r in rows)
         L = _bucket(max_len, self.len_buckets)
         per = max(1, self.max_batch_tokens // L)
+        if row_limit is not None:
+            per = max(1, min(per, row_limit))
         per = max(b for b in self.batch_buckets if b <= per) if per >= self.batch_buckets[0] else self.batch_buckets[0]
         for i in range(0, len(rows), per):
             yield i, rows[i : i + per]
+
+    def _t5_gen_row_limit(self, rows: List[List[int]], max_new: int) -> int:
+        """Rows per dispatch so the T5 generation program fits HBM.
+
+        t5_greedy_generate materializes per-layer cross-attention K/V
+        ([Ld, B, H, L, Dh] x2) plus the self-attention cache; on large
+        models (flan-t5-xl: ~126MB/row at L=640) that, not the token
+        budget, is the binding constraint."""
+        cfg = self.cfg
+        L = _bucket(max(len(r) for r in rows), self.len_buckets)
+        bpe = jnp.dtype(jnp.bfloat16).itemsize
+        per_row = (
+            cfg.num_decoder_layers * cfg.num_heads * cfg.d_kv
+            * (L + max_new + 2) * 2 * bpe          # cross + self K/V
+            + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # transients
+        )
+        try:
+            limit = jax.devices()[0].memory_stats()["bytes_limit"]
+        except Exception:
+            limit = 16 * 1024**3
+        params_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(self.params)
+        )
+        free = max(limit - params_bytes - 2 * 1024**3, 1024**3) * 0.7
+        return max(1, int(free // per_row))
 
     def _put(self, ids: np.ndarray, mask: np.ndarray):
         ids = jax.device_put(jnp.asarray(ids), self._data_sharding)
@@ -239,6 +275,10 @@ class ScoringEngine:
         out = np.zeros((len(prompt_rows), len(label_ids)), np.float32)
         labels = tuple(int(x) for x in label_ids)
         prefix = tuple(int(x) for x in decoder_prefix)
+        if self.kind == "t5" and not prefix:
+            # T5 scoring reads logits after the forced prefix; an empty
+            # prefix means "first decoder position" = just the start token.
+            prefix = (int(self.cfg.decoder_start_token_id),)
         # Two phases: submit every chunk first (JAX dispatch is async, so
         # host padding of chunk i+1 overlaps device compute of chunk i),
         # then fetch.
@@ -335,7 +375,11 @@ class ScoringEngine:
         prefix = tuple(int(x) for x in decoder_prefix)
         if chunk_tokens is None and max_new_tokens >= 512 and self.kind != "t5":
             chunk_tokens = 256
-        for off, chunk in self._chunks(prompt_rows):
+        row_limit = (
+            self._t5_gen_row_limit(prompt_rows, max_new_tokens)
+            if self.kind == "t5" and prompt_rows else None
+        )
+        for off, chunk in self._chunks(prompt_rows, row_limit):
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
             chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens

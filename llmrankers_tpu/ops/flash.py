@@ -43,7 +43,7 @@ def _kernel(
     lk: int,
 ):
     tq, dh = q_ref.shape[2], q_ref.shape[3]
-    iq = pl.program_id(2)
+    iq = pl.program_id(1)  # grid is (h, iq, b)
     # Keep matmul operands in the input dtype (bf16 feeds the MXU at full
     # rate); accumulate and softmax in fp32. Masking is ADDITIVE: kvm_ref
     # arrives as a precomputed fp32 penalty vector (0 or NEG_INF) so the
@@ -189,19 +189,25 @@ def flash_mha(
 
     def run(*local_args):
         """pallas_call over the LOCAL shard: grid derives from local
-        batch/head counts (global == local when mesh is None)."""
+        batch/head counts (global == local when mesh is None).
+
+        Grid order is (h, iq, b) — batch iterates FASTEST so the
+        batch-invariant bias tile's block index is unchanged across the
+        whole batch and Pallas keeps it resident in VMEM instead of
+        re-streaming H*Lq*Lk from HBM per batch element (the dominant
+        bias cost at [H=32, 640, 640])."""
         q_, k_, v_ = local_args[:3]
         Bl, Hl = q_.shape[0], q_.shape[1]
-        grid = (Bl, Hl, Lq_p // tq)
+        grid = (Hl, Lq_p // tq, Bl)
         in_specs = [
-            pl.BlockSpec((1, 1, tq, Dh_p), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, tq, Dh_p), lambda h, i, b: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda h, i, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda h, i, b: (b, h, 0, 0)),
         ]
         if has_kvm:
-            in_specs.append(pl.BlockSpec((1, 1, Lk_p), lambda b, h, i: (b, 0, 0)))
+            in_specs.append(pl.BlockSpec((1, 1, Lk_p), lambda h, i, b: (b, 0, 0)))
         if has_bias:
-            in_specs.append(pl.BlockSpec((1, tq, Lk_p), lambda b, h, i: (h, i, 0)))
+            in_specs.append(pl.BlockSpec((1, tq, Lk_p), lambda h, i, b: (h, i, 0)))
 
         def kernel(*refs):
             idx = 3
@@ -218,7 +224,7 @@ def flash_mha(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, tq, Dh_p), lambda b, h, i: (b, h, i, 0)),
+            out_specs=pl.BlockSpec((1, 1, tq, Dh_p), lambda h, i, b: (b, h, i, 0)),
             out_shape=jax.ShapeDtypeStruct((Bl, Hl, Lq_p, Dh_p), q.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * Bl * Hl * Lq_p * Lk_p * Dh,

@@ -49,8 +49,10 @@ class SetwiseLlmRanker(EngineRanker):
         num_permutation: int = 1,
         seed: int = 929,
         max_wave_size: Optional[int] = None,
+        spec_depth: int = 1,  # >1: speculative heap pops (latency knob)
     ):
         super().__init__(engine, max_wave_size)
+        self.spec_depth = spec_depth
         self.num_child = num_child
         self.k = k
         self.scoring = scoring
@@ -77,7 +79,8 @@ class SetwiseLlmRanker(EngineRanker):
         if self.method == "heapsort":
             arr = list(ranking)
             ordered = await setwise_sort.heapsort(
-                runner, arr, self.k, self.num_child, compare
+                runner, arr, self.k, self.num_child, compare,
+                spec_depth=self.spec_depth,
             )
         elif self.method == "bubblesort":
             ordered = await setwise_sort.bubblesort(

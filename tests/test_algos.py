@@ -455,3 +455,49 @@ def test_deep_await_chain_waves_are_maximal():
     runner.run([deep(runner), shallow(runner)])
     assert runner.num_waves == 2, sizes
     assert sizes == [2, 2], sizes
+
+
+@pytest.mark.parametrize("n,num_child,k,depth", [
+    (30, 2, 10, 2), (30, 2, 10, 4), (25, 3, 10, 3), (12, 2, 12, 8),
+    (7, 4, 3, 2),
+])
+def test_spec_heapsort_matches_sequential(n, num_child, k, depth):
+    """Speculative pops return the same ranking as the sequential sift
+    (outcomes on the taken path are the same comparisons; discarded
+    branches can't affect state)."""
+    pick = make_set_pick()
+    arr = random.Random(n * depth).sample(range(1000), n)
+
+    runner_a = WaveRunner(lambda reqs: [pick(r) for r in reqs])
+    seq = runner_a.run(
+        [setwise_sort.heapsort(runner_a, list(arr), k, num_child,
+                               pick_async(runner_a))]
+    )[0]
+    runner_b = WaveRunner(lambda reqs: [pick(r) for r in reqs])
+    spec = runner_b.run(
+        [setwise_sort.heapsort(runner_b, list(arr), k, num_child,
+                               pick_async(runner_b), spec_depth=depth)]
+    )[0]
+    assert spec == seq
+    assert seq == oracle_setwise_heapsort(arr, k, num_child, pick)
+
+
+def test_spec_heapsort_cuts_waves():
+    """For a single query, deep speculation collapses each pop's descent
+    into ~1 wave: total wave count drops well below sequential."""
+    pick = make_set_pick()
+    arr = random.Random(3).sample(range(1000), 60)
+
+    def run(depth):
+        log = []
+        runner = WaveRunner(batch_fn_counter(pick, log))
+        out = runner.run(
+            [setwise_sort.heapsort(runner, list(arr), 10, 2,
+                                   pick_async(runner), spec_depth=depth)]
+        )[0]
+        return out, runner.num_waves
+
+    seq_out, seq_waves = run(1)
+    spec_out, spec_waves = run(6)
+    assert spec_out == seq_out
+    assert spec_waves < seq_waves * 0.55, (seq_waves, spec_waves)
