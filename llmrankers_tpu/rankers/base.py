@@ -22,6 +22,11 @@ class EngineRanker(LlmRanker):
         super().__init__()
         self.engine = engine
         self.max_wave_size = max_wave_size
+        # Named engine adapter used for this ranker's scoring/generation
+        # calls (see ScoringEngine.add_adapter — vLLM LoRARequest parity).
+        # None = base weights. Settable per call batch (the HTTP server
+        # groups jobs by adapter and flips this between groups).
+        self.adapter: Optional[str] = None
         self._query_stats: List[RerankStats] = []
 
     # Subclasses implement: one query's ranking coroutine + a batch executor.

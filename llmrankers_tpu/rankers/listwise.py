@@ -89,7 +89,8 @@ class ListwiseLlmRanker(EngineRanker):
             rows.append(ids)
             max_docs = max(max_docs, len(r.docs))
         logits = self.engine.score_labels(
-            rows, self.label_ids[:max_docs], self.likelihood_prefix
+            rows, self.label_ids[:max_docs], self.likelihood_prefix,
+            adapter=self.adapter,
         )
         out = []
         for i, r in enumerate(requests):
@@ -115,7 +116,8 @@ class ListwiseLlmRanker(EngineRanker):
             self._query_stats[r.qidx].prompt_tokens += len(ids)
             rows.append(ids)
         texts_out, ntoks = self.engine.generate(
-            rows, self.max_new_tokens, self.decoder_prefix
+            rows, self.max_new_tokens, self.decoder_prefix,
+            adapter=self.adapter,
         )
         for r, nt in zip(requests, ntoks):
             self._query_stats[r.qidx].completion_tokens += nt

@@ -93,7 +93,8 @@ class PairwiseLlmRanker(EngineRanker):
                 self._query_stats[r.qidx].prompt_tokens += len(ids)
                 rows.append(ids)
         max_new = 2 if self.engine.kind == "t5" else 1
-        texts, ntoks = self.engine.generate(rows, max_new, self.decoder_prefix)
+        texts, ntoks = self.engine.generate(rows, max_new, self.decoder_prefix,
+                                            adapter=self.adapter)
         out: List[Tuple[str, str]] = []
         for i, r in enumerate(requests):
             self._query_stats[r.qidx].completion_tokens += ntoks[2 * i] + ntoks[2 * i + 1]
@@ -151,7 +152,8 @@ class DuoT5LlmRanker(PairwiseLlmRanker):
                 self._query_stats[r.qidx].prompt_tokens += len(ids)
                 rows.append(ids)
         logits = self.engine.score_labels(
-            rows, [self.false_id, self.true_id], self.start_prefix
+            rows, [self.false_id, self.true_id], self.start_prefix,
+            adapter=self.adapter,
         )
         # softmax over {false,true} -> P(true); compare the two orderings.
         e = np.exp(logits - logits.max(axis=1, keepdims=True))

@@ -60,11 +60,12 @@ class PointwiseLlmRanker(EngineRanker):
                 row_q.append(qi)
 
         if self.method == "qlm":
-            scores = self.engine.sequence_nll(rows, targets)
+            scores = self.engine.sequence_nll(rows, targets, adapter=self.adapter)
         elif self.method == "yes_no":
             logits = self.engine.score_labels(
                 rows, [self.yes_id, self.no_id],
                 decoder_prefix=[self.engine.cfg.pad_token_id],
+                adapter=self.adapter,
             )
             e = np.exp(logits - logits.max(axis=1, keepdims=True))
             scores = e[:, 0] / e.sum(axis=1)  # P(Yes)
@@ -113,6 +114,7 @@ class MonoT5LlmRanker(PointwiseLlmRanker):
         logits = self.engine.score_labels(
             rows, [self.false_id, self.true_id],
             decoder_prefix=[self.engine.cfg.decoder_start_token_id],
+            adapter=self.adapter,
         )
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         scores = e[:, 1] / e.sum(axis=1)  # P(true)

@@ -119,7 +119,8 @@ class SetwiseLlmRanker(EngineRanker):
             rows.append(ids)
             max_docs = max(max_docs, len(r.docs))
         logits = self.engine.score_labels(
-            rows, self.label_ids[:max_docs], self.decoder_prefix
+            rows, self.label_ids[:max_docs], self.decoder_prefix,
+            adapter=self.adapter,
         )
         out = []
         for i, r in enumerate(requests):
@@ -162,7 +163,8 @@ class SetwiseLlmRanker(EngineRanker):
             plans.append(plan)
 
         max_new = 2 if self.engine.kind == "t5" else 1
-        texts, ntoks = self.engine.generate(rows, max_new, self.decoder_prefix)
+        texts, ntoks = self.engine.generate(rows, max_new, self.decoder_prefix,
+                                            adapter=self.adapter)
 
         out: List[int] = []
         for r, plan in zip(requests, plans):

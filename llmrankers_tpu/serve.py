@@ -36,9 +36,11 @@ from .types import LlmRanker, SearchResult
 
 
 class _Job:
-    def __init__(self, query: str, ranking: List[SearchResult]):
+    def __init__(self, query: str, ranking: List[SearchResult],
+                 adapter: Optional[str] = None):
         self.query = query
         self.ranking = ranking
+        self.adapter = adapter  # named LoRA adapter (None = base weights)
         self.done = threading.Event()
         self.result: Optional[List[SearchResult]] = None
         self.stats: Optional[Dict[str, int]] = None
@@ -49,8 +51,9 @@ class RerankService:
     """Micro-batching dispatcher over one ranker."""
 
     def __init__(self, ranker: LlmRanker, max_batch: int = 64,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, adapters: Optional[List[str]] = None):
         self.ranker = ranker
+        self.adapters = set(adapters or ())
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self.queue: "queue.Queue[_Job]" = queue.Queue()
@@ -59,8 +62,9 @@ class RerankService:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, query: str, ranking: List[SearchResult]) -> _Job:
-        job = _Job(query, ranking)
+    def submit(self, query: str, ranking: List[SearchResult],
+               adapter: Optional[str] = None) -> _Job:
+        job = _Job(query, ranking, adapter)
         self.queue.put(job)
         return job
 
@@ -83,27 +87,38 @@ class RerankService:
                     jobs.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            try:
-                results = self.ranker.rerank_many(
-                    [j.query for j in jobs], [j.ranking for j in jobs]
-                )
-                per_query = getattr(self.ranker, "per_query_stats", None)
-                for i, (job, res) in enumerate(zip(jobs, results)):
-                    job.result = res
-                    if per_query is not None:
-                        s = per_query[i]
-                        job.stats = {
-                            "comparisons": s.comparisons,
-                            "prompt_tokens": s.prompt_tokens,
-                            "completion_tokens": s.completion_tokens,
-                        }
-                self.served += len(jobs)
-            except Exception as e:  # surface per-job
-                for job in jobs:
-                    job.error = f"{type(e).__name__}: {e}"
-            finally:
-                for job in jobs:
-                    job.done.set()
+            # Jobs for the same adapter share device waves; different
+            # adapters run as separate dispatches (merged weights are
+            # cached per adapter by the engine — vLLM LoRARequest parity).
+            groups: Dict[Optional[str], List[_Job]] = {}
+            for j in jobs:
+                groups.setdefault(j.adapter, []).append(j)
+            for adapter, grp in groups.items():
+                try:
+                    if hasattr(self.ranker, "adapter"):
+                        self.ranker.adapter = adapter
+                    elif adapter:
+                        raise ValueError("ranker does not support adapters")
+                    results = self.ranker.rerank_many(
+                        [j.query for j in grp], [j.ranking for j in grp]
+                    )
+                    per_query = getattr(self.ranker, "per_query_stats", None)
+                    for i, (job, res) in enumerate(zip(grp, results)):
+                        job.result = res
+                        if per_query is not None:
+                            s = per_query[i]
+                            job.stats = {
+                                "comparisons": s.comparisons,
+                                "prompt_tokens": s.prompt_tokens,
+                                "completion_tokens": s.completion_tokens,
+                            }
+                    self.served += len(grp)
+                except Exception as e:  # surface per-job
+                    for job in grp:
+                        job.error = f"{type(e).__name__}: {e}"
+                finally:
+                    for job in grp:
+                        job.done.set()
 
 
 def make_handler(service: RerankService, default_top_n: Optional[int]):
@@ -121,7 +136,8 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
 
         def do_GET(self):
             if self.path == "/health":
-                self._send(200, {"status": "ok", "served": service.served})
+                self._send(200, {"status": "ok", "served": service.served,
+                                 "adapters": sorted(service.adapters)})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -142,6 +158,12 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                 ]
                 if any(t is None for t in texts):
                     raise ValueError("each document needs text")
+                adapter = req.get("adapter")
+                if adapter is not None and adapter not in service.adapters:
+                    raise ValueError(
+                        f"unknown adapter {adapter!r}; registered: "
+                        f"{sorted(service.adapters)}"
+                    )
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -150,7 +172,7 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                 SearchResult(docid=str(i), score=0.0, text=t)
                 for i, t in enumerate(texts)
             ]
-            job = service.submit(query, ranking)
+            job = service.submit(query, ranking, req.get("adapter"))
             job.done.wait()
             if job.error:
                 self._send(500, {"error": job.error})
@@ -186,15 +208,27 @@ def main() -> None:
     serve_p.add_argument("--host", type=str, default="127.0.0.1")
     serve_p.add_argument("--max_batch", type=int, default=64)
     serve_p.add_argument("--window_ms", type=float, default=5.0)
+    serve_p.add_argument("--adapter", action="append", default=[],
+                         metavar="NAME=PEFT_DIR",
+                         help="register a LoRA adapter; requests select it "
+                              "via {\"adapter\": \"NAME\"}")
     serve_args, rest = serve_p.parse_known_args(sys.argv[1:])
 
     ranker, args = build_ranker_from_args(rest)
+    adapter_names = []
+    for spec in serve_args.adapter:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--adapter wants NAME=PEFT_DIR, got {spec!r}")
+        ranker.engine.add_adapter(name, path)
+        adapter_names.append(name)
     top_n = None
     for sec in ("setwise", "pairwise"):
         ns = getattr(args, sec)
         if ns is not None:
             top_n = ns.k
-    service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms)
+    service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms,
+                            adapters=adapter_names)
     server = ThreadingHTTPServer(
         (serve_args.host, serve_args.port), make_handler(service, top_n)
     )

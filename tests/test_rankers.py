@@ -55,7 +55,7 @@ class OracleEngine:
         text = self.tokenizer.decode(row)
         return [float(m) for m in re.findall(r"relevance (\d+)", text)]
 
-    def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None):
+    def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None, adapter=None):
         self.calls += 1
         out = np.full((len(rows), len(label_ids)), -1e9, np.float32)
         for i, row in enumerate(rows):
@@ -67,7 +67,7 @@ class OracleEngine:
                 out[i, : len(scores)] = scores
         return out
 
-    def sequence_nll(self, rows, targets, stats=None):
+    def sequence_nll(self, rows, targets, stats=None, adapter=None):
         self.calls += 1
         return np.asarray([self._doc_scores(r)[0] for r in rows], np.float32)
 
@@ -142,7 +142,7 @@ def test_pairwise_oracle_topk(method):
 
 def test_duot5_oracle():
     class DuoOracle(OracleEngine):
-        def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None):
+        def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None, adapter=None):
             self.calls += 1
             out = np.zeros((len(rows), 2), np.float32)
             for i, row in enumerate(rows):
@@ -167,7 +167,7 @@ def test_pointwise_oracle(method):
 
 def test_monot5_oracle():
     class MonoOracle(OracleEngine):
-        def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None):
+        def score_labels(self, rows, label_ids, decoder_prefix=(), stats=None, adapter=None):
             out = np.zeros((len(rows), 2), np.float32)
             for i, row in enumerate(rows):
                 out[i] = [0.0, self._doc_scores(row)[0] / 100.0]

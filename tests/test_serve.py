@@ -86,3 +86,48 @@ def test_bad_requests(server):
     assert status == 200 and out["results"][0]["index"] == 1
     with urllib.request.urlopen(base + "/health", timeout=10) as resp:
         assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_adapter_routing(server):
+    """Requests select a registered adapter; unknown names 400; jobs for
+    different adapters run as separate dispatch groups with the ranker's
+    adapter attribute set per group."""
+    base, eng = server
+    docs = [f"passage with relevance {v}" for v in VALUES[:6]]
+
+    # Unknown adapter -> 400 with the registered list.
+    import urllib.error
+    try:
+        _post(base, {"query": "q", "documents": docs, "adapter": "nope"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "unknown adapter" in json.loads(e.read())["error"]
+
+
+def test_adapter_groups_set_ranker_adapter():
+    from llmrankers_tpu.types import SearchResult
+
+    seen = []
+
+    class FakeRanker:
+        adapter = None
+        per_query_stats = None
+
+        def rerank_many(self, queries, rankings):
+            seen.append((self.adapter, len(queries)))
+            return [list(r) for r in rankings]
+
+    service = RerankService(FakeRanker(), max_batch=8, window_ms=50.0,
+                            adapters=["a", "b"])
+    docs = [SearchResult("0", 0.0, "x")]
+    jobs = [service.submit("q1", list(docs), "a"),
+            service.submit("q2", list(docs), None),
+            service.submit("q3", list(docs), "a"),
+            service.submit("q4", list(docs), "b")]
+    for j in jobs:
+        j.done.wait(timeout=10)
+        assert j.error is None
+    groups = dict((ad, n) for ad, n in seen)
+    assert groups == {"a": 2, None: 1, "b": 1}
+    service.shutdown()
