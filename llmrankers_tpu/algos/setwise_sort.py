@@ -138,8 +138,10 @@ async def heapsort(
     the best element is first, as rerank() consumes it (setwise.py:240).
 
     ``spec_depth`` > 1 enables speculative pops (see _spec_sift_down):
-    identical results, ~spec_depth x fewer sequential waves per pop, at
-    the cost of extra (discarded) comparisons — worth it for isolated
+    identical results when comparisons are stateless (likelihood scoring,
+    or generation without permutation self-consistency — the ranker
+    enforces this), ~spec_depth x fewer sequential waves per pop, at the
+    cost of extra (discarded) comparisons — worth it for isolated
     low-latency queries where waves are far from full."""
     n = len(arr)
 

@@ -94,7 +94,9 @@ def build_parsers():
     sw.add_argument("--speculative_depth", type=int, default=1,
                     help="heap-pop speculation depth (>1 batches the "
                          "descent subtree into one wave; identical "
-                         "results, lower latency, more comparisons)")
+                         "results for stateless comparisons, lower "
+                         "latency, more comparisons; incompatible with "
+                         "num_permutation>1 generation scoring)")
     sw.add_argument("--prompt_file", type=str, default=None,
                     help="TOML prompt pack -> Rank-R1 reasoning ranker")
     sw.add_argument("--lora_name_or_path", type=str, default=None)

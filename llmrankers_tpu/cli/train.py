@@ -138,6 +138,7 @@ def main_grpo(args):
         m = trainer.evaluate(
             [r["prompt"] for r in eval_rows],
             [r["ground_truth"] for r in eval_rows],
+            batch_size=max(args.batch_size, 1),
         )
         print(json.dumps({"step": step,
                           **{k: round(v, 5) for k, v in m.items()}}),
@@ -221,8 +222,14 @@ def main_sft(args):
     def run_eval(step, lora_):
         if not eval_rows:
             return
-        loss = float(eval_fn(lora_, make_batch(eval_rows)))
-        print(json.dumps({"step": step, "eval_loss": round(loss, 5),
+        # Micro-batched: the eval split can be 1000 rows (v0.2's test
+        # split); one padded batch of that size would not fit on device.
+        tot, wsum = 0.0, 0
+        for off in range(0, len(eval_rows), args.batch_size):
+            chunk = eval_rows[off : off + args.batch_size]
+            tot += float(eval_fn(lora_, make_batch(chunk))) * len(chunk)
+            wsum += len(chunk)
+        print(json.dumps({"step": step, "eval_loss": round(tot / wsum, 5),
                           "eval_n": len(eval_rows)}), flush=True)
 
     t0 = time.time()

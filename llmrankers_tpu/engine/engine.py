@@ -169,17 +169,22 @@ class ScoringEngine:
     # Host-side padding/bucketing
     # ------------------------------------------------------------------
     def _pad_batch(
-        self, rows: List[List[int]], left: bool = False
+        self, rows: List[List[int]], left: bool = False,
+        b_cap: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, int, int]:
         """Pad token rows into a (batch, length) bucket. Right padding for
         encoder prompts; left padding for decoder-only batch generation
-        (pairwise.py:71). Scatter runs in native code when available."""
+        (pairwise.py:71). ``b_cap`` bounds the batch bucket (memory-limited
+        callers — the padded batch must not exceed what the caller's HBM
+        estimate allows). Scatter runs in native code when available."""
         from ..utils import native
 
         n = len(rows)
         max_len = max((len(r) for r in rows), default=1)
         L = _bucket(max_len, self.len_buckets)
         B = _bucket(n, self.batch_buckets)
+        if b_cap is not None and B > b_cap:
+            B = max(n, b_cap)
         ids, mask = native.pack_padded(rows, B, L, self.tokenizer.pad_id, left)
         return ids, mask, n, B
 
@@ -222,7 +227,13 @@ class ScoringEngine:
         per = max(1, self.max_batch_tokens // L)
         if row_limit is not None:
             per = max(1, min(per, row_limit))
-        per = max(b for b in self.batch_buckets if b <= per) if per >= self.batch_buckets[0] else self.batch_buckets[0]
+        # Round down to a batch bucket; when the (memory) limit sits below
+        # the smallest bucket, KEEP the raw limit — rounding up would
+        # re-create the allocation the limit exists to prevent (the
+        # caller's _pad_batch(b_cap=...) then compiles that exact shape).
+        fitting = [b for b in self.batch_buckets if b <= per]
+        if fitting:
+            per = max(fitting)
         for i in range(0, len(rows), per):
             yield i, rows[i : i + per]
 
@@ -385,7 +396,7 @@ class ScoringEngine:
             chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
             grp = None if self.kind == "t5" else self._group(chunk)
             if self.kind == "t5":
-                ids, mask, n, B = self._pad_batch(chunk)
+                ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
                 fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
                 toks = np.asarray(fn(pp, *self._put(ids, mask)))[:n]
             elif grp is not None:

@@ -178,7 +178,7 @@ def decoder_prefill(
 
         # Structural masks so prefill rides the flash kernel on TPU.
         a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
-                use_flash=cfg.use_flash)
+                use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + a @ lp["wo"]
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)

@@ -52,6 +52,16 @@ class SetwiseLlmRanker(EngineRanker):
         spec_depth: int = 1,  # >1: speculative heap pops (latency knob)
     ):
         super().__init__(engine, max_wave_size)
+        if spec_depth > 1 and num_permutation > 1 and scoring == "generation":
+            # Discarded speculative comparisons would advance the shared
+            # permutation RNG stream and silently change every later
+            # comparison's shuffles — the 'identical results' guarantee
+            # of speculation only holds when comparisons are stateless.
+            raise ValueError(
+                "spec_depth > 1 is incompatible with num_permutation > 1 "
+                "generation scoring (speculative comparisons would shift "
+                "the permutation RNG stream)"
+            )
         self.spec_depth = spec_depth
         self.num_child = num_child
         self.k = k

@@ -194,12 +194,18 @@ class GRPOTrainer:
         return self._jit_cache[key]
 
     def evaluate(
-        self, prompts: List[List[dict]], ground_truths: Sequence[str]
+        self,
+        prompts: List[List[dict]],
+        ground_truths: Sequence[str],
+        batch_size: int = 8,
     ) -> Dict[str, float]:
         """Held-out reward accuracy: ONE greedy completion per prompt,
         scored by the reward function (binary, so mean == accuracy).
         Mirrors the v0.2 builder's 1000-example test split
-        (create_dataset_v0.2.py:55-59)."""
+        (create_dataset_v0.2.py:55-59). Runs in micro-batches of
+        ``batch_size`` — each generate program allocates per-row KV
+        caches of (prompt + completion) length, so a 1000-example split
+        must never run as one batch."""
         cfg = self.cfg
         texts = [
             self.tokenizer.apply_chat_template(p, add_generation_prompt=True)
@@ -210,15 +216,20 @@ class GRPOTrainer:
             for t in texts
         ]
         L = max(8, 1 << (max(len(r) for r in rows) - 1).bit_length())
-        ids, mask = self._pad_left(rows, L)
-        with self.mesh:
-            comp = np.asarray(
-                self._eval_fn(L, cfg.max_completion_length)(self.lora, ids, mask)
+        completions: List[str] = []
+        for off in range(0, len(rows), batch_size):
+            chunk = rows[off : off + batch_size]
+            ids, mask = self._pad_left(chunk, L)
+            with self.mesh:
+                comp = np.asarray(
+                    self._eval_fn(L, cfg.max_completion_length)(
+                        self.lora, ids, mask
+                    )
+                )
+            completions.extend(
+                self.tokenizer.decode(row.tolist(), skip_special_tokens=True)
+                for row in comp
             )
-        completions = [
-            self.tokenizer.decode(row.tolist(), skip_special_tokens=True)
-            for row in comp
-        ]
         rewards = np.asarray(self.reward_fn(completions, list(ground_truths)))
         return {
             "eval_reward_mean": float(rewards.mean()),

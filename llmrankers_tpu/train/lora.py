@@ -66,13 +66,26 @@ def init_lora(
 ) -> Dict[str, Any]:
     """A ~ N(0, 0.02), B = 0 (standard LoRA init: adapter starts as a
     no-op). Shapes follow the stacked [L, in, out] layer leaves."""
-    keys = iter(jax.random.split(key, 4 * len(cfg.targets)))
+    keys = iter(jax.random.split(key, 4 * max(len(cfg.targets), len(T5_TARGETS))))
     if not _is_t5(params):
         return _init_one(params["layers"], cfg.targets, cfg, keys, dtype)
+    # The decoder-only default target names don't exist in the T5 tree;
+    # auto-switch to the T5 attention targets then, and refuse to build a
+    # silently-empty (no-op) adapter for custom target lists.
+    cfg_targets = cfg.targets
+    if tuple(cfg_targets) == DEFAULT_TARGETS:
+        cfg_targets = T5_TARGETS
     lora: Dict[str, Any] = {}
+    matched = 0
     for sub, layers in _subtrees(params):
-        targets = [t for t in cfg.targets if t in layers]
+        targets = [t for t in cfg_targets if t in layers]
+        matched += len(targets)
         lora[sub] = _init_one(layers, targets, cfg, keys, dtype)
+    if matched == 0:
+        raise ValueError(
+            f"LoraConfig.targets {tuple(cfg.targets)} matches no T5 layer; "
+            f"use names from {T5_TARGETS + tuple('c' + t for t in T5_TARGETS)}"
+        )
     return lora
 
 

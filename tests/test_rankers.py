@@ -310,3 +310,15 @@ def test_engine_on_tp_mesh():
     r = SetwiseLlmRanker(sharded, num_child=2, k=3, scoring="likelihood")
     out = r.rerank("q", _tiny_ranking())
     assert len(out) == 8
+
+
+def test_spec_depth_rejects_permutation_generation():
+    """Speculative pops would shift the shared permutation RNG stream, so
+    the combination is rejected up front."""
+    eng = OracleEngine()
+    with pytest.raises(ValueError, match="spec_depth"):
+        SetwiseLlmRanker(eng, num_child=2, k=3, scoring="generation",
+                         num_permutation=3, spec_depth=2)
+    # Likelihood scoring is stateless: allowed.
+    SetwiseLlmRanker(eng, num_child=2, k=3, scoring="likelihood",
+                     num_permutation=1, spec_depth=2)
