@@ -201,8 +201,13 @@ def t5_generation(cfg, n_queries=8, n_docs=100):
     t0 = time.perf_counter()
     ranker.rerank_many(queries[1:], [list(r) for r in rankings[1:]])
     wall = time.perf_counter() - t0
+    # Random weights emit unparseable labels; the parse fallback ("A" =
+    # parent wins) short-circuits heapsort, so the comparison count (and
+    # docs/s) is NOT workload-representative — report it so the number
+    # can be normalized. Real weights restore the true comparison count.
     return {"docs_per_sec": round((n_queries - 1) * n_docs / wall, 2),
-            "queries": n_queries - 1}
+            "queries": n_queries - 1,
+            "comparisons": ranker.total_compare}
 
 
 def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128):
