@@ -77,18 +77,16 @@ class ScoringEngine:
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
         # Flash policy, measured on v5e (see docs/ARCHITECTURE.md §4):
-        # the kernel beats XLA as a standalone op everywhere, but inside
-        # the T5 encoder the custom-call boundary costs more fusion than
-        # the kernel saves (xl: 892ms vs 831ms full-encode) — so 'auto'
-        # enables it for decoder prefill (causal long-seq, +5% end to
-        # end) and leaves T5 on XLA's fused attention. Multi-device
-        # meshes run the kernel under shard_map (batch over 'data',
-        # heads over 'model'). LLMRANKERS_NO_FLASH=1 opts out.
+        # with native Dh=64 lane blocks and full-row q tiles the kernel
+        # beats XLA's fused attention both standalone (H16: 4.6 vs
+        # 7.6ms) and in-context (large encode: 240 vs 266ms; xl: 794 vs
+        # 831ms), so 'auto' enables it for both model kinds on TPU.
+        # Multi-device meshes run the kernel under shard_map (batch over
+        # 'data', heads over 'model'). LLMRANKERS_NO_FLASH=1 opts out.
         _no = os.environ.get("LLMRANKERS_NO_FLASH") == "1"
         if use_flash == "on" or (
             use_flash == "auto"
             and jax.default_backend() == "tpu"
-            and kind != "t5"
             and not _no
         ):
             cfg = dataclasses.replace(

@@ -129,7 +129,7 @@ def flash_mha(
     causal: bool = False,
     bias: Optional[jax.Array] = None,  # [1, H, Lq, Lk] (batch-invariant)
     scale: float = 1.0,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     mesh=None,  # jax.sharding.Mesh with ('data','model') axes, or None
 ) -> jax.Array:
@@ -164,13 +164,16 @@ def flash_mha(
         cap_q //= 2
     tq = _fit(Lq, cap_q, 8)
     tk = _fit(Lk, block_k, 128) if Lk >= 128 else 128
-    # Pad sequence dims to tile multiples and the head dim to the 128-lane
-    # tiling (zero columns leave q.k dot products and the V matmul exact;
-    # the extra output columns are sliced off). Padded keys are masked via
-    # kv_mask (materialized if padding is added).
-    q_p = _pad_to(_pad_to(q, 2, tq), 3, 128)
-    k_p = _pad_to(_pad_to(k, 2, tk), 3, 128)
-    v_p = _pad_to(_pad_to(v, 2, tk), 3, 128)
+    # Pad sequence dims to tile multiples and the head dim to a 64-lane
+    # multiple (zero columns leave q.k dot products and the V matmul
+    # exact; the extra output columns are sliced off). 64, not 128: at
+    # Dh=64 (every T5/Llama config here) padding to 128 DOUBLES the
+    # kernel's MXU work and HBM traffic, and current Mosaic handles
+    # 64-wide lane blocks. Padded keys are masked via kv_mask
+    # (materialized if padding is added).
+    q_p = _pad_to(_pad_to(q, 2, tq), 3, 64)
+    k_p = _pad_to(_pad_to(k, 2, tk), 3, 64)
+    v_p = _pad_to(_pad_to(v, 2, tk), 3, 64)
     Lq_p, Lk_p = q_p.shape[2], k_p.shape[2]
     if Lk_p != Lk and kv_mask is None:
         kv_mask = jnp.ones((B, Lk), jnp.int32)
