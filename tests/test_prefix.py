@@ -112,3 +112,24 @@ def test_generate_shared_chunked_matches_plain(engines):
     assert ("dec_prefill_shared",) in {k[:1] for k in shared._jit_cache}
     assert a == b
     assert na == nb
+
+
+def test_score_labels_shared_matches_plain_on_mesh():
+    """Grouped (shared-prefix) scoring on a 2x2 dp x tp mesh matches the
+    single-device plain path — the per-row K/V gather must partition
+    cleanly when the suffix batch is sharded over 'data'."""
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    cfg = DecoderConfig.tiny()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(cfg.vocab_size)
+    mesh = mesh_mod.make_mesh(2, 2)
+    shared = ScoringEngine("decoder", cfg, params, tok, mesh=mesh,
+                           prefix_share=True)
+    plain = ScoringEngine("decoder", cfg, params, tok, prefix_share=False)
+    rows = _shared_prefix_rows(np.random.RandomState(3))
+    labels = [5, 6, 7]
+    a = shared.score_labels(rows, labels)
+    b = plain.score_labels(rows, labels)
+    assert ("dec_labels_shared",) in {k[:1] for k in shared._jit_cache}
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
