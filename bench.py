@@ -210,7 +210,8 @@ def t5_generation(cfg, n_queries=8, n_docs=100):
             "comparisons": ranker.total_compare}
 
 
-def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128):
+def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128,
+                  quantize=None):
     """Rank-R1-style long generation on a Qwen2.5-3B-shaped decoder:
     shared-prefix prefill (instruction+query head shared across the
     batch, vLLM prefix-caching equivalent) + chunked greedy decode with
@@ -225,7 +226,7 @@ def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128):
     cfg = DecoderConfig.qwen25_3b()
     params = dec_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
-    engine = ScoringEngine("decoder", cfg, params, tok)
+    engine = ScoringEngine("decoder", cfg, params, tok, quantize=quantize)
 
     rng = np.random.RandomState(929)
     pre = rng.randint(2, 30000, n_prefix).tolist()
@@ -249,6 +250,7 @@ def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128):
         "wall_s": round(wall, 2),
         "tokens_per_sec_total": round((prompt_tokens + gen_tokens) / wall, 1),
         "prefix_shared": engine.prefix_share,
+        "quantize": quantize,
     }
 
 
@@ -275,6 +277,7 @@ def main():
         detail["gen_large"] = t5_generation(T5Config.flan_t5_large())
     if "rankr1" in sections:
         detail["rankr1"] = rankr1_decode()
+        detail["rankr1_int8"] = rankr1_decode(quantize="int8")
     xl = None
     if "xl" in sections:
         xl = t5_throughput(

@@ -64,6 +64,11 @@ def build_parsers():
     run_p.add_argument("--data_parallel", type=int, default=1)
     run_p.add_argument("--dtype", type=str, default="bfloat16",
                        choices=["bfloat16", "float32"])
+    run_p.add_argument("--quantize", type=str, default=None,
+                       choices=["int8"],
+                       help="weight-only int8 for decoder models (halves "
+                            "weight HBM; ~2x decode throughput at serving "
+                            "batch sizes)")
     run_p.add_argument("--event_log", type=str, default=None)
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
@@ -187,7 +192,10 @@ def make_engine(run_args, lora_path=None):
         adapter, lcfg = lora_mod.load_peft_adapter(lora_path, params, dtype=dtype)
         params = lora_mod.merge(params, adapter, lcfg)
     mesh = mesh_mod.make_mesh(run_args.data_parallel, run_args.tensor_parallel)
-    return ScoringEngine(kind, cfg, params, tok, mesh=mesh)
+    # Adapter merge above happens in bf16 BEFORE quantization (merging
+    # onto int8 weights is unsupported, models/quant.py).
+    return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
+                         quantize=run_args.quantize)
 
 
 def make_ranker(args, engine):

@@ -71,9 +71,19 @@ class ScoringEngine:
         max_batch_tokens: int = 2**17,
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
+        quantize: Optional[str] = None,  # None | 'int8' (decoder weights)
     ):
         import dataclasses
         import os
+
+        if quantize is not None:
+            from ..models import quant as quant_mod
+
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            if kind != "decoder":
+                raise ValueError("weight-only int8 targets decoder models")
+            params = jax.jit(quant_mod.quantize_decoder_params)(params)
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
         # Flash policy, measured on v5e (see docs/ARCHITECTURE.md §4):
@@ -135,8 +145,14 @@ class ScoringEngine:
         score_labels/sequence_nll/generate; merged weights are cached per
         adapter so switching costs one einsum+add the first time only.
         """
+        from ..models import quant as quant_mod
         from ..train import lora as lora_mod
 
+        if quant_mod.is_quantized(self.params):
+            raise ValueError(
+                "cannot apply LoRA adapters to int8-quantized weights; "
+                "merge the adapter first, then quantize"
+            )
         if isinstance(adapter, str):
             adapter, lcfg = lora_mod.load_peft_adapter(adapter, self.params)
         elif lcfg is None:

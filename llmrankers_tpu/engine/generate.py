@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..models import decoder as dec_mod
 from ..models import t5 as t5_mod
 from ..models.config import DecoderConfig, T5Config
+from ..models.quant import wmat
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 
 NEG_INF = -1e9
@@ -159,9 +160,9 @@ def decoder_prefill(
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = hn @ lp["wq"]
-        k = hn @ lp["wk"]
-        v = hn @ lp["wv"]
+        q = hn @ wmat(lp, "wq")
+        k = hn @ wmat(lp, "wk")
+        v = hn @ wmat(lp, "wv")
         if cfg.attention_bias:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
@@ -180,9 +181,10 @@ def decoder_prefill(
         a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + a @ lp["wo"]
+        h = h + a @ wmat(lp, "wo")
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]
+        f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
+             * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
         # Cache padded out to T along the length axis.
         kc = jnp.pad(k, ((0, 0), (0, 0), (0, T - L), (0, 0)))
         vc = jnp.pad(v, ((0, 0), (0, 0), (0, T - L), (0, 0)))
@@ -227,9 +229,9 @@ def _prefill_layers(
         else:
             lp = xs
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = hn @ lp["wq"]
-        k = hn @ lp["wk"]
-        v = hn @ lp["wv"]
+        q = hn @ wmat(lp, "wq")
+        k = hn @ wmat(lp, "wk")
+        v = hn @ wmat(lp, "wv")
         if cfg.attention_bias:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
@@ -252,9 +254,10 @@ def _prefill_layers(
         a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + a @ lp["wo"]
+        h = h + a @ wmat(lp, "wo")
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]
+        f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
+             * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
         return h + f, (k, v)
 
     xs = (params["layers"], pre_k, pre_v) if have_pre else params["layers"]
@@ -383,9 +386,9 @@ def decoder_decode_chunk(
         def layer(h, xs):
             lp, kcl, vcl = xs
             hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-            q = hn @ lp["wq"]
-            k = hn @ lp["wk"]
-            v = hn @ lp["wv"]
+            q = hn @ wmat(lp, "wq")
+            k = hn @ wmat(lp, "wk")
+            v = hn @ wmat(lp, "wv")
             if cfg.attention_bias:
                 q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
             q = q.reshape(B, H, Dh)
@@ -412,9 +415,10 @@ def decoder_decode_chunk(
             a = jnp.einsum(
                 "bkgt,bktd->bkgd", p, vcl, preferred_element_type=jnp.float32
             )
-            h = h + a.astype(dtype).reshape(B, H * Dh) @ lp["wo"]
+            h = h + a.astype(dtype).reshape(B, H * Dh) @ wmat(lp, "wo")
             hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-            f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]
+            f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
+                 * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
             return h + f, (kcl, vcl)
 
         h, (kc, vc) = jax.lax.scan(layer, x, (params["layers"], kc, vc))

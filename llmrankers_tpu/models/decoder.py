@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 from .config import DecoderConfig
+from .quant import wmat
 
 Params = Dict[str, Any]
 
@@ -65,9 +66,9 @@ def forward_hidden(
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = hn @ lp["wq"]
-        k = hn @ lp["wk"]
-        v = hn @ lp["wv"]
+        q = hn @ wmat(lp, "wq")
+        k = hn @ wmat(lp, "wk")
+        v = hn @ wmat(lp, "wv")
         if cfg.attention_bias:
             q = q + lp["bq"]
             k = k + lp["bk"]
@@ -85,9 +86,10 @@ def forward_hidden(
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + a @ lp["wo"]
+        h = h + a @ wmat(lp, "wo")
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = (jax.nn.silu(hn @ lp["w_gate"]) * (hn @ lp["w_up"])) @ lp["w_down"]
+        f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
+             * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
         return h + f, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])

@@ -105,6 +105,13 @@ def decoder_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     for qn in ("q_norm", "k_norm"):
         if qn in layers:
             lspecs[qn] = P(None, None)
+    # int8 weight-only quantization: per-output-channel scales [L, 1, out]
+    # shard along the same axis as the weight's output dim.
+    for name in list(lspecs):
+        sk = name + "_scale"
+        if sk in layers:
+            w_spec = lspecs[name]
+            lspecs[sk] = P(None, None, w_spec[2] if len(w_spec) == 3 else None)
     specs: Dict[str, Any] = {
         "embed": P("model", None),
         "layers": lspecs,

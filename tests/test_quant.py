@@ -1,0 +1,93 @@
+"""Weight-only int8 quantization: accuracy + engine integration."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmrankers_tpu.engine.engine import ScoringEngine
+from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+from llmrankers_tpu.models import decoder as dec_mod
+from llmrankers_tpu.models import quant
+from llmrankers_tpu.models.config import DecoderConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DecoderConfig.tiny()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_quantize_roundtrip_error(tiny):
+    cfg, params = tiny
+    qp = quant.quantize_decoder_params(params)
+    assert quant.is_quantized(qp) and not quant.is_quantized(params)
+    assert qp["layers"]["wq"].dtype == jnp.int8
+    w = np.asarray(params["layers"]["wq"], np.float32)
+    wd = np.asarray(quant.wmat(qp["layers"], "wq"), np.float32)
+    # Per-channel symmetric int8 with a bf16 scale: half-step rounding
+    # (0.5/127 of the channel max) plus bf16 rounding of the scale AND of
+    # the dequant product (2^-9 relative each, compounded).
+    err = np.abs(wd - w).max(axis=1)
+    amax = np.abs(w).max(axis=1)
+    assert (err <= amax * (0.5 / 127.0 + 3 * 2.0**-9) + 1e-6).all()
+
+
+def test_quantized_forward_close(tiny):
+    cfg, params = tiny
+    qp = quant.quantize_decoder_params(params)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(2, 500, (2, 24)), jnp.int32)
+    mask = jnp.ones((2, 24), jnp.int32)
+    a = np.asarray(dec_mod.forward(params, cfg, ids, mask), np.float32)
+    b = np.asarray(dec_mod.forward(qp, cfg, ids, mask), np.float32)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel
+
+
+def test_quantized_engine_paths(tiny):
+    cfg, params = tiny
+    tok = ByteTokenizer(cfg.vocab_size)
+    base = ScoringEngine("decoder", cfg, params, tok)
+    q8 = ScoringEngine("decoder", cfg, params, tok, quantize="int8")
+    rows = [list(range(2, 80 + 7 * i)) for i in range(3)]
+
+    a = base.score_labels(rows, [5, 6])
+    b = q8.score_labels(rows, [5, 6])
+    # Label-logit DIFFERENCES drive ranking decisions; check the quantized
+    # preference gap tracks the bf16 one.
+    np.testing.assert_allclose(b[:, 0] - b[:, 1], a[:, 0] - a[:, 1],
+                               rtol=0.2, atol=0.2)
+
+    texts, ntoks = q8.generate(rows, max_new_tokens=6)
+    assert len(texts) == 3 and all(n >= 1 for n in ntoks)
+    # chunked long-generation path (shared-prefix grouping off: rows differ)
+    texts2, _ = q8.generate(rows, max_new_tokens=8, chunk_tokens=4)
+    assert len(texts2) == 3
+
+    with pytest.raises(ValueError, match="int8-quantized"):
+        q8.add_adapter("a", {}, None)
+
+
+def test_quantized_on_mesh(tiny):
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    cfg, params = tiny
+    tok = ByteTokenizer(cfg.vocab_size)
+    mesh = mesh_mod.make_mesh(2, 2)
+    q8 = ScoringEngine("decoder", cfg, params, tok, mesh=mesh, quantize="int8")
+    rows = [list(range(2, 64)) for _ in range(4)]
+    out = q8.score_labels(rows, [5, 6])
+    assert np.all(np.isfinite(out))
+
+
+def test_quantize_rejects_t5():
+    from llmrankers_tpu.models import t5 as t5_mod
+    from llmrankers_tpu.models.config import T5Config
+
+    cfg = T5Config.tiny()
+    params = t5_mod.init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="decoder"):
+        ScoringEngine("t5", cfg, params, ByteTokenizer(cfg.vocab_size),
+                      quantize="int8")
