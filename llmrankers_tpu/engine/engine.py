@@ -202,10 +202,10 @@ class ScoringEngine:
         ids, mask = native.pack_padded(rows, B, L, self.tokenizer.pad_id, left)
         return ids, mask, n, B
 
-    def _pad_batch_left(self, rows: List[List[int]]):
-        return self._pad_batch(rows, left=True)
+    def _pad_batch_left(self, rows: List[List[int]], b_cap: Optional[int] = None):
+        return self._pad_batch(rows, left=True, b_cap=b_cap)
 
-    def _group(self, chunk: List[List[int]]):
+    def _group(self, chunk: List[List[int]], b_cap: Optional[int] = None):
         """Shared-prefix grouping of a chunk (decoder kind only).
 
         Returns (n, device args (pids, pmask, gidx, sids, smask)) when
@@ -220,7 +220,7 @@ class ScoringEngine:
             return None
         pre_rows, gidx, suf_rows = grp
         pids, pmask, _, _ = self._pad_batch(pre_rows)
-        sids, smask, n, B = self._pad_batch(suf_rows)
+        sids, smask, n, B = self._pad_batch(suf_rows, b_cap=b_cap)
         gvec = np.zeros((B,), np.int32)
         gvec[: len(gidx)] = gidx
         sids_d, smask_d = self._put(sids, smask)
@@ -251,21 +251,30 @@ class ScoringEngine:
         for i in range(0, len(rows), per):
             yield i, rows[i : i + per]
 
-    def _t5_gen_row_limit(self, rows: List[List[int]], max_new: int) -> int:
-        """Rows per dispatch so the T5 generation program fits HBM.
+    def _gen_row_limit(self, rows: List[List[int]], max_new: int) -> int:
+        """Rows per dispatch so the generation program's KV caches fit HBM.
 
-        t5_greedy_generate materializes per-layer cross-attention K/V
-        ([Ld, B, H, L, Dh] x2) plus the self-attention cache; on large
-        models (flan-t5-xl: ~126MB/row at L=640) that, not the token
-        budget, is the binding constraint."""
+        T5 (t5_greedy_generate) materializes per-layer cross-attention K/V
+        ([Ld, B, H, L, Dh] x2) plus the self-attention cache — flan-t5-xl
+        is ~126MB/row at L=640. Decoder models carry per-layer self K/V of
+        length L + max_new — Qwen2.5-3B at a 1.8k prompt + 2k budget is
+        ~280MB/row. Either way the cache, not the token budget, is the
+        binding constraint on big models."""
         cfg = self.cfg
         L = _bucket(max(len(r) for r in rows), self.len_buckets)
         bpe = jnp.dtype(jnp.bfloat16).itemsize
-        per_row = (
-            cfg.num_decoder_layers * cfg.num_heads * cfg.d_kv
-            * (L + max_new + 2) * 2 * bpe          # cross + self K/V
-            + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # transients
-        )
+        if self.kind == "t5":
+            per_row = (
+                cfg.num_decoder_layers * cfg.num_heads * cfg.d_kv
+                * (L + max_new + 2) * 2 * bpe      # cross + self K/V
+                + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # transients
+            )
+        else:
+            per_row = (
+                cfg.num_hidden_layers * cfg.num_key_value_heads
+                * cfg.head_dim_ * (L + max_new) * 2 * bpe  # self K/V
+                + 6 * L * max(cfg.intermediate_size, cfg.hidden_size) * bpe
+            )
         try:
             limit = jax.devices()[0].memory_stats()["bytes_limit"]
         except Exception:
@@ -401,14 +410,14 @@ class ScoringEngine:
         if chunk_tokens is None and max_new_tokens >= 512 and self.kind != "t5":
             chunk_tokens = 256
         row_limit = (
-            self._t5_gen_row_limit(prompt_rows, max_new_tokens)
-            if self.kind == "t5" and prompt_rows else None
+            self._gen_row_limit(prompt_rows, max_new_tokens)
+            if prompt_rows else None
         )
         for off, chunk in self._chunks(prompt_rows, row_limit):
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
             chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
-            grp = None if self.kind == "t5" else self._group(chunk)
+            grp = None if self.kind == "t5" else self._group(chunk, row_limit)
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
                 fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
@@ -429,7 +438,7 @@ class ScoringEngine:
                     fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
                     toks = np.asarray(fn(pp, *args))[:n]
             elif chunked:
-                ids, mask, n, B = self._pad_batch_left(chunk)
+                ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
                 prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
                 tok, cache = prefill(pp, *self._put(ids, mask))
                 toks = self._decode_chunked(
@@ -437,7 +446,7 @@ class ScoringEngine:
                     max_new_tokens, chunk_tokens, stop_strings,
                 )
             else:
-                ids, mask, n, B = self._pad_batch_left(chunk)
+                ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
                 fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
                 toks = np.asarray(fn(pp, *self._put(ids, mask)))[:n]
             # The device fills frozen rows with cfg.pad_token_id (which can
