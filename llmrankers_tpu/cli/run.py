@@ -254,6 +254,7 @@ def make_ranker(args, engine):
                 num_permutation=args.setwise.num_permutation,
                 max_completion_tokens=args.setwise.max_completion_tokens,
                 verbose=args.run.verbose,
+                spec_depth=args.setwise.speculative_depth,
             )
         return SetwiseLlmRanker(
             engine,

@@ -217,19 +217,25 @@ def main_sft(args):
         @jax.jit
         def eval_fn(lora_, batch):  # held-out completion-masked loss
             merged = lora_mod.merge(params, lora_, tcfg.lora)
-            return sft_loss(merged, cfg, batch)[0]
+            loss, aux = sft_loss(merged, cfg, batch)
+            return loss, aux["tokens"]
 
     def run_eval(step, lora_):
         if not eval_rows:
             return
         # Micro-batched: the eval split can be 1000 rows (v0.2's test
         # split); one padded batch of that size would not fit on device.
-        tot, wsum = 0.0, 0
+        # Chunk means are weighted by COMPLETION TOKENS, not rows, so the
+        # reported number is the true per-token loss over the whole split
+        # and is invariant to how the rows are chunked.
+        tot, wsum = 0.0, 0.0
         for off in range(0, len(eval_rows), args.batch_size):
             chunk = eval_rows[off : off + args.batch_size]
-            tot += float(eval_fn(lora_, make_batch(chunk))) * len(chunk)
-            wsum += len(chunk)
-        print(json.dumps({"step": step, "eval_loss": round(tot / wsum, 5),
+            loss, ntok = eval_fn(lora_, make_batch(chunk))
+            tot += float(loss) * float(ntok)
+            wsum += float(ntok)
+        print(json.dumps({"step": step,
+                          "eval_loss": round(tot / max(wsum, 1.0), 5),
                           "eval_n": len(eval_rows)}), flush=True)
 
     t0 = time.time()

@@ -72,6 +72,7 @@ class ScoringEngine:
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
         quantize: Optional[str] = None,  # None | 'int8' (decoder weights)
+        max_cached_adapters: int = 1,  # merged-weight copies kept on device
     ):
         import dataclasses
         import os
@@ -129,9 +130,17 @@ class ScoringEngine:
         self._repl = NamedSharding(self.mesh, P())
         # Named LoRA adapters served from one engine (vLLM LoRARequest
         # parity, setwise.py:494-497): raw adapter pytrees registered via
-        # add_adapter; merged params materialized on device lazily.
+        # add_adapter; merged params materialized on device lazily. A
+        # merged copy is a FULL param pytree (6GB+ for a 3B bf16 model),
+        # so at most ``max_cached_adapters`` stay resident — older ones
+        # are evicted LRU and re-merged on next use (one einsum+add).
+        import collections
+
         self._adapters: Dict[str, Any] = {}
-        self._adapter_params: Dict[str, Any] = {}
+        self._adapter_params: "collections.OrderedDict[str, Any]" = (
+            collections.OrderedDict()
+        )
+        self._max_cached_adapters = max(1, int(max_cached_adapters))
 
     # ------------------------------------------------------------------
     # Multi-adapter serving
@@ -173,10 +182,15 @@ class ScoringEngine:
                     f"unknown adapter {adapter!r}; registered: "
                     f"{sorted(self._adapters)}"
                 ) from None
+            while len(self._adapter_params) >= self._max_cached_adapters:
+                _, evicted = self._adapter_params.popitem(last=False)
+                for leaf in jax.tree.leaves(evicted):
+                    leaf.delete()  # free HBM before allocating the merge
             merged = jax.jit(functools.partial(lora_mod.merge, cfg=lcfg))(self.params, raw)
             self._adapter_params[adapter] = mesh_mod.shard_params(
                 merged, self._pspecs, self.mesh
             )
+        self._adapter_params.move_to_end(adapter)
         return self._adapter_params[adapter]
 
     # ------------------------------------------------------------------
@@ -199,6 +213,11 @@ class ScoringEngine:
         B = _bucket(n, self.batch_buckets)
         if b_cap is not None and B > b_cap:
             B = max(n, b_cap)
+        # device_put with P('data') needs B divisible by the data axis;
+        # the b_cap path can otherwise produce arbitrary sizes (e.g. a
+        # 7-row memory-capped generate chunk on a dp=2 mesh).
+        dp = self.mesh.shape.get("data", 1)
+        B = -(-B // dp) * dp
         ids, mask = native.pack_padded(rows, B, L, self.tokenizer.pad_id, left)
         return ids, mask, n, B
 

@@ -39,8 +39,8 @@ def _kernel(
     scale: float,
     causal: bool,
     tk: int,
-    lq: int,
     lk: int,
+    causal_offset: int,
 ):
     tq, dh = q_ref.shape[2], q_ref.shape[3]
     iq = pl.program_id(1)  # grid is (h, iq, b)
@@ -76,8 +76,14 @@ def _kernel(
         if kvm_ref is not None:
             s = s + kvm_ref[0, 0, pl.ds(kt * tk, tk)][None, :]
         if causal:
+            # Diagonal offset comes from the TRUE (unpadded) lengths: with
+            # keys = [past prefix | query block], query row i may see keys
+            # up to position (true_Lk - true_Lq) + i. Padding is appended,
+            # so Lk_p - Lq_p can differ from that offset (e.g. a 1088-key
+            # shared-prefix prefill padding to 2048 while queries stay at
+            # 1024) — using padded lengths here would unmask future keys.
             col_ids = kt * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(col_ids <= row_ids + (lk - lq), s, NEG_INF)
+            s = jnp.where(col_ids <= row_ids + causal_offset, s, NEG_INF)
 
         if nk == 1:
             # Single-tile fast path: plain softmax, no online correction.
@@ -220,7 +226,8 @@ def flash_mha(
             o_ref = refs[-1]
             _kernel(
                 refs[0], refs[1], refs[2], kvm_ref, bias_ref, o_ref,
-                scale=scale, causal=causal, tk=tk, lq=Lq_p, lk=Lk_p,
+                scale=scale, causal=causal, tk=tk, lk=Lk_p,
+                causal_offset=Lk - Lq,
             )
 
         return pl.pallas_call(

@@ -46,6 +46,7 @@ class RankR1SetwiseLlmRanker(EngineRanker):
         max_wave_size: Optional[int] = None,
         adapter: Optional[str] = None,  # engine adapter name (vLLM
         # LoRARequest parity, setwise.py:494-497); None = base weights
+        spec_depth: int = 1,  # >1: speculative heap pops (latency knob)
     ):
         super().__init__(engine, max_wave_size)
         self.adapter = adapter
@@ -53,6 +54,16 @@ class RankR1SetwiseLlmRanker(EngineRanker):
             raise NotImplementedError(
                 "RankR1SetwiseLlmRanker only supports 'generation' scoring"
             )
+        if spec_depth > 1 and num_permutation > 1:
+            # Same constraint as SetwiseLlmRanker's generation scoring:
+            # discarded speculative comparisons would advance the shared
+            # permutation RNG stream and change later shuffles.
+            raise ValueError(
+                "spec_depth > 1 is incompatible with num_permutation > 1 "
+                "(speculative comparisons would shift the permutation "
+                "RNG stream)"
+            )
+        self.spec_depth = spec_depth
         if engine.kind != "decoder":
             raise ValueError("Rank-R1 rankers run on decoder-only chat models")
         with open(prompt_file, "rb") as f:
@@ -73,7 +84,8 @@ class RankR1SetwiseLlmRanker(EngineRanker):
 
         if self.method == "heapsort":
             ordered = await setwise_sort.heapsort(
-                runner, list(ranking), self.k, self.num_child, compare
+                runner, list(ranking), self.k, self.num_child, compare,
+                spec_depth=self.spec_depth,
             )
         elif self.method == "bubblesort":
             ordered = await setwise_sort.bubblesort(

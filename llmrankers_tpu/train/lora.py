@@ -190,6 +190,13 @@ def load_peft_adapter(path: str, params: Dict[str, Any], dtype=jnp.float32):
                         "a": jnp.asarray(st[0], dtype=dtype),
                         "b": jnp.asarray(st[1], dtype=dtype),
                     }
+        if not targets:
+            raise ValueError(
+                f"no LoRA tensors in {path!r} matched this T5 model's "
+                "layer names (expected PEFT keys like "
+                "'...block.N.layer.M.SelfAttention.q.lora_A...'); "
+                "is the adapter for a different architecture?"
+            )
         return lora, LoraConfig(r=r, alpha=alpha, targets=tuple(targets))
 
     n_layers = params["layers"]["wq"].shape[0]
@@ -206,4 +213,11 @@ def load_peft_adapter(path: str, params: Dict[str, Any], dtype=jnp.float32):
             "a": jnp.asarray(st[0], dtype=dtype),
             "b": jnp.asarray(st[1], dtype=dtype),
         }
+    if not targets:
+        raise ValueError(
+            f"no LoRA tensors in {path!r} matched this model's layer "
+            "names (expected PEFT keys like "
+            "'...layers.N.self_attn.q_proj.lora_A...'); "
+            "is the adapter for a different architecture?"
+        )
     return lora, LoraConfig(r=r, alpha=alpha, targets=tuple(targets))

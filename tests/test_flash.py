@@ -176,3 +176,30 @@ def test_engine_tp_uses_flash_mesh():
     rows = [list(range(2, 150)) for _ in range(4)]
     out = eng.score_labels(rows, label_ids=[5, 6], decoder_prefix=[0])
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_flash_causal_rect_unequal_padding():
+    """Causal with Lk > Lq where sequence padding differs per side.
+
+    This is the shared-prefix prefill shape (engine/generate.py::
+    decoder_shared_prefill): queries are the suffix block, keys are
+    prefix + suffix. The causal diagonal offset must come from the TRUE
+    lengths — with Lq=64 (no q padding) and Lk=88 (padded to 128), a
+    padded-length offset of 64 instead of 24 would let suffix tokens
+    attend up to 40 positions into the future.
+    """
+    B, H, Lq, Lk, D = 2, 2, 64, 88, 32
+    q = _rand((B, H, Lq, D), 50)
+    k = _rand((B, H, Lk, D), 51)
+    v = _rand((B, H, Lk, D), 52)
+    _compare(q, k, v, causal=True, scale=0.125)
+
+    # A second shape where BOTH sides pad but by different amounts
+    # (Lq 256 -> 256, Lk 272 -> 384 with 128-wide k tiles).
+    Lq, Lk = 256, 272
+    q = _rand((B, H, Lq, D), 53)
+    k = _rand((B, H, Lk, D), 54)
+    v = _rand((B, H, Lk, D), 55)
+    kv_mask = np.ones((B, Lk), np.int32)
+    kv_mask[0, 260:] = 0
+    _compare(q, k, v, kv_mask=jnp.asarray(kv_mask), causal=True, scale=1.0)

@@ -312,6 +312,75 @@ def test_engine_on_tp_mesh():
     assert len(out) == 8
 
 
+def test_pad_batch_cap_divisible_by_data_axis():
+    """A memory-capped batch (b_cap below the smallest batch bucket) must
+    still round up to a multiple of the mesh's data axis — device_put
+    with P('data') rejects a 7-row array on a dp=2 mesh."""
+    import jax
+    from llmrankers_tpu.engine.engine import ScoringEngine
+    from llmrankers_tpu.models.config import DecoderConfig
+    from llmrankers_tpu.models import decoder as dec_mod
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    cfg = DecoderConfig.tiny()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(cfg.vocab_size)
+    mesh = mesh_mod.make_mesh(2, 1, devices=jax.devices()[:2])
+    eng = ScoringEngine("decoder", cfg, params, tok, mesh=mesh,
+                        len_buckets=(64,), batch_buckets=(8, 32))
+    rows = [list(range(2, 40)) for _ in range(7)]
+    ids, mask, n, B = eng._pad_batch(rows, b_cap=7)
+    assert n == 7 and B == 8  # rounded up from the cap of 7
+    # End-to-end: generation with the row limit forced below the bucket.
+    eng._gen_row_limit = lambda rows_, max_new: 7
+    texts, ntoks = eng.generate(rows, max_new_tokens=3)
+    assert len(texts) == 7
+
+
+def test_rank_r1_spec_depth_matches_sequential():
+    """Rank-R1 heapsort with speculative pops returns the same order as
+    spec_depth=1 (--speculative_depth is wired through to the ranker)."""
+    import re as _re
+
+    from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+    from llmrankers_tpu.rankers.rank_r1 import RankR1SetwiseLlmRanker
+
+    class ChatOracle:
+        kind = "decoder"
+
+        def __init__(self):
+            self.tokenizer = ByteTokenizer()
+
+        def generate(self, rows, max_new_tokens, decoder_prefix=(),
+                     stop_strings=(), chunk_tokens=None, stats=None,
+                     adapter=None):
+            texts, ntoks = [], []
+            for row in rows:
+                text = self.tokenizer.decode(row)
+                scores = [float(m) for m in _re.findall(r"relevance (\d+)", text)]
+                best = int(np.argmax(scores)) + 1
+                texts.append(f"<think>x</think>\n<answer>[{best}]</answer>")
+                ntoks.append(8)
+            return texts, ntoks
+
+    prompt_file = "/root/repo/llmrankers_tpu/prompts/prompt_setwise-R1.toml"
+    vals = [17, 3, 94, 55, 21, 8, 76, 42, 63, 30, 5, 88]
+    docs = [SearchResult(f"d{i}", 0.0, f"passage with relevance {v}")
+            for i, v in enumerate(vals)]
+    base = RankR1SetwiseLlmRanker(ChatOracle(), prompt_file, num_child=3, k=4)
+    spec = RankR1SetwiseLlmRanker(ChatOracle(), prompt_file, num_child=3, k=4,
+                                  spec_depth=3)
+    out_base = base.rerank("which doc", list(docs))
+    out_spec = spec.rerank("which doc", list(docs))
+    assert [d.docid for d in out_spec] == [d.docid for d in out_base]
+    # Speculation may issue extra (discarded) comparisons, never fewer.
+    assert spec.total_compare >= base.total_compare
+
+    with pytest.raises(ValueError, match="spec_depth"):
+        RankR1SetwiseLlmRanker(ChatOracle(), prompt_file, num_permutation=3,
+                               spec_depth=2)
+
+
 def test_spec_depth_rejects_permutation_generation():
     """Speculative pops would shift the shared permutation RNG stream, so
     the combination is rejected up front."""

@@ -433,3 +433,39 @@ def test_engine_serves_multiple_adapters(tiny_model):
     assert isinstance(g_base, list) and isinstance(g1, list)
     with pytest.raises(KeyError):
         eng.score_labels(rows, [5], adapter="nope")
+
+    # Merged weights are a FULL param copy each, so only
+    # max_cached_adapters (default 1) stay resident; evicted adapters
+    # re-merge on next use and reproduce the same scores.
+    assert len(eng._adapter_params) == 1
+    s1_again = eng.score_labels(rows, [5, 6], adapter="one")
+    np.testing.assert_allclose(s1_again, s1, rtol=1e-5, atol=1e-6)
+    assert len(eng._adapter_params) == 1
+
+    eng2 = ScoringEngine("decoder", cfg, params, tok, max_cached_adapters=2)
+    eng2.add_adapter("one", ad1, lcfg)
+    eng2.add_adapter("two", ad2, lcfg)
+    eng2.score_labels(rows, [5, 6], adapter="one")
+    eng2.score_labels(rows, [5, 6], adapter="two")
+    assert len(eng2._adapter_params) == 2
+
+
+def test_load_peft_adapter_no_match_raises(tmp_path, tiny_model):
+    """An adapter whose tensors match none of the model's layer names
+    must raise, not silently register a no-op adapter."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    cfg, params = tiny_model
+    sd = {
+        "base_model.model.transformer.h.0.attn.c_attn.lora_A.weight":
+            np.zeros((2, 4), np.float32),
+        "base_model.model.transformer.h.0.attn.c_attn.lora_B.weight":
+            np.zeros((4, 2), np.float32),
+    }
+    save_file(sd, str(tmp_path / "adapter_model.safetensors"))
+    with open(tmp_path / "adapter_config.json", "w") as f:
+        json.dump({"r": 2, "lora_alpha": 4}, f)
+    with pytest.raises(ValueError, match="no LoRA tensors"):
+        lora_mod.load_peft_adapter(str(tmp_path), params)
