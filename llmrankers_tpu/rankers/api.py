@@ -21,6 +21,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import json
 import re
+import sys
 import time
 import urllib.error
 import urllib.request
@@ -171,7 +172,7 @@ class OpenAiSetwiseLlmRanker(_ApiRankerBase):
             elif content.strip() in self.CHARACTERS:
                 label = content.strip()
             else:
-                print(f"Unexpected output: {content}")
+                print(f"Unexpected output: {content}", file=sys.stderr)
                 label = "A"
             results.append(self.CHARACTERS.index(label))
         return results
@@ -227,7 +228,7 @@ class OpenAiPairwiseLlmRanker(_ApiRankerBase):
                 elif content.strip() in ("A", "B"):
                     pair.append(content.strip())
                 else:
-                    print(f"Unexpected output: {content}")
+                    print(f"Unexpected output: {content}", file=sys.stderr)
                     pair.append("A")
             results.append(tuple(pair))
         return results

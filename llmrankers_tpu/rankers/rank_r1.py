@@ -16,6 +16,7 @@ decode scan; permutation self-consistency copies ride the same batch.
 from __future__ import annotations
 
 import random
+import sys
 import re
 import tomllib
 from dataclasses import dataclass
@@ -158,7 +159,7 @@ class RankR1SetwiseLlmRanker(EngineRanker):
                 result = m.group(1).strip() if m else ""
                 if result not in labels:
                     if self.verbose:
-                        print(f"Unexpected output: {result!r}")
+                        print(f"Unexpected output: {result!r}", file=sys.stderr)
                     continue
                 candidates.append(perm[labels.index(result)])
             if not candidates:

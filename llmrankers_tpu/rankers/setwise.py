@@ -16,6 +16,7 @@ axis of rows.
 from __future__ import annotations
 
 import random
+import sys
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Sequence
 
@@ -186,7 +187,7 @@ class SetwiseLlmRanker(EngineRanker):
                 if label in labs:
                     out.append(perm[labs.index(label)])
                 else:
-                    print(f"Unexpected output: {texts[row_i]!r}")
+                    print(f"Unexpected output: {texts[row_i]!r}", file=sys.stderr)
                     # Reference: CHARACTERS.index raises -> fallback 0;
                     # but a valid char beyond the doc count keeps its index
                     # so the IndexError->root fallback can fire upstream.
@@ -199,7 +200,7 @@ class SetwiseLlmRanker(EngineRanker):
                 for row_i, perm, labs in plan:
                     label = _extract_label(texts[row_i])
                     if label not in labs:
-                        print(f"Unexpected output: {texts[row_i]!r}")
+                        print(f"Unexpected output: {texts[row_i]!r}", file=sys.stderr)
                         continue
                     candidates.append(perm[labs.index(label)])
                 if not candidates:
