@@ -36,6 +36,7 @@ class _Pending:
     seq: int
     request: Any = field(compare=False)
     future: asyncio.Future = field(compare=False)
+    key: Any = field(compare=False, default=None)
 
 
 class WaveRunner:
@@ -49,26 +50,48 @@ class WaveRunner:
 
     ``max_batch_size`` optionally splits oversized waves so device memory
     stays bounded; the backend may further bucket by sequence length.
+
+    ``cache_key`` enables comparison memoization (arXiv:2505.24643): a
+    repeated request (same key) returns the recorded outcome without a
+    device dispatch. Only sound when outcomes are deterministic functions
+    of the request — greedy decoding / likelihood scoring without shared
+    RNG state; rankers gate it accordingly. Cache hits are counted in
+    ``num_cache_hits`` (they do not bump the rankers' comparison meters —
+    the meters report LLM calls actually issued, which is the point).
     """
 
-    def __init__(self, batch_fn: BatchFn, max_batch_size: Optional[int] = None):
+    def __init__(
+        self,
+        batch_fn: BatchFn,
+        max_batch_size: Optional[int] = None,
+        cache_key: Optional[Callable[[Any], Any]] = None,
+    ):
         self._batch_fn = batch_fn
         self._max_batch = max_batch_size
+        self._cache_key = cache_key
+        self._cache: dict = {}
         self._pending: List[_Pending] = []
         self._live = 0  # tasks that may still submit requests
         self._seq = 0
         self._progress = 0  # monotone counter: bumps on every task event
         self._wave_event: Optional[asyncio.Event] = None
         self.num_waves = 0  # device dispatches issued (observability)
+        self.num_cache_hits = 0
 
     # ------------------------------------------------------------------
     # API used by algorithm coroutines
     # ------------------------------------------------------------------
     async def compare(self, request: Any) -> Any:
         """Submit one comparison and suspend until its outcome is ready."""
+        key = None
+        if self._cache_key is not None:
+            key = self._cache_key(request)
+            if key is not None and key in self._cache:
+                self.num_cache_hits += 1
+                return self._cache[key]
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
-        self._pending.append(_Pending(self._seq, request, fut))
+        self._pending.append(_Pending(self._seq, request, fut, key))
         self._seq += 1
         self._progress += 1
         self._maybe_signal()
@@ -205,6 +228,8 @@ class WaveRunner:
                     f"batch_fn returned {len(outcomes)} outcomes for {len(chunk)} requests"
                 )
             for p, out in zip(chunk, outcomes):
+                if p.key is not None:
+                    self._cache[p.key] = out
                 if not p.future.done():
                     p.future.set_result(out)
 

@@ -84,11 +84,15 @@ def build_parsers():
     pw.add_argument("--method", type=str, default="yes_no", choices=["qlm", "yes_no"])
     pw.add_argument("--batch_size", type=int, default=2)
 
+    _cache_help = ("memoize repeated comparisons (arXiv:2505.24643): "
+                   "identical ranking, fewer LLM calls; requires "
+                   "deterministic scoring (num_permutation == 1)")
     pr = commands.add_parser("pairwise")
     pr.add_argument("--method", type=str, default="allpair",
                     choices=["allpair", "heapsort", "bubblesort"])
     pr.add_argument("--batch_size", type=int, default=2)
     pr.add_argument("--k", type=int, default=10)
+    pr.add_argument("--cache_comparisons", action="store_true", help=_cache_help)
 
     sw = commands.add_parser("setwise")
     sw.add_argument("--num_child", type=int, default=3)
@@ -106,12 +110,14 @@ def build_parsers():
                     help="TOML prompt pack -> Rank-R1 reasoning ranker")
     sw.add_argument("--lora_name_or_path", type=str, default=None)
     sw.add_argument("--max_completion_tokens", type=int, default=2048)
+    sw.add_argument("--cache_comparisons", action="store_true", help=_cache_help)
 
     lw = commands.add_parser("listwise")
     lw.add_argument("--window_size", type=int, default=3)
     lw.add_argument("--step_size", type=int, default=1)
     lw.add_argument("--num_repeat", type=int, default=1)
     lw.add_argument("--prompt_file", type=str, default=None)
+    lw.add_argument("--cache_comparisons", action="store_true", help=_cache_help)
 
     return parser, commands
 
@@ -255,6 +261,7 @@ def make_ranker(args, engine):
                 max_completion_tokens=args.setwise.max_completion_tokens,
                 verbose=args.run.verbose,
                 spec_depth=args.setwise.speculative_depth,
+                cache_comparisons=args.setwise.cache_comparisons,
             )
         return SetwiseLlmRanker(
             engine,
@@ -265,11 +272,14 @@ def make_ranker(args, engine):
             num_permutation=args.setwise.num_permutation,
             seed=args.run.seed,
             spec_depth=args.setwise.speculative_depth,
+            cache_comparisons=args.setwise.cache_comparisons,
         )
     if args.pairwise:
         if "duot5" in model_name:
-            return DuoT5LlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k)
-        return PairwiseLlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k)
+            return DuoT5LlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k,
+                                  cache_comparisons=args.pairwise.cache_comparisons)
+        return PairwiseLlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k,
+                                 cache_comparisons=args.pairwise.cache_comparisons)
     if args.listwise:
         if args.listwise.prompt_file:
             from ..rankers.rank_r1 import RankR1ListwiseLlmRanker
@@ -281,6 +291,7 @@ def make_ranker(args, engine):
                 step_size=args.listwise.step_size,
                 num_repeat=args.listwise.num_repeat,
                 verbose=args.run.verbose,
+                cache_comparisons=args.listwise.cache_comparisons,
             )
         return ListwiseLlmRanker(
             engine,
@@ -288,6 +299,7 @@ def make_ranker(args, engine):
             step_size=args.listwise.step_size,
             num_repeat=args.listwise.num_repeat,
             scoring=args.run.scoring,
+            cache_comparisons=args.listwise.cache_comparisons,
         )
     raise ValueError(
         "Must specify one of --pointwise, --setwise, --pairwise, --listwise."

@@ -27,6 +27,10 @@ class EngineRanker(LlmRanker):
         # None = base weights. Settable per call batch (the HTTP server
         # groups jobs by adapter and flips this between groups).
         self.adapter: Optional[str] = None
+        # Comparison-memoization key function (arXiv:2505.24643): set by
+        # subclasses when caching is requested AND scoring is
+        # deterministic; None disables caching.
+        self._cache_key_fn: Optional[Callable[[Any], Any]] = None
         self._query_stats: List[RerankStats] = []
 
     # Subclasses implement: one query's ranking coroutine + a batch executor.
@@ -47,7 +51,8 @@ class EngineRanker(LlmRanker):
         finishes — the driver streams results to disk at query granularity
         (crash-safe resume, run_setwise.py:300-301 semantics)."""
         self._query_stats = [RerankStats() for _ in queries]
-        runner = WaveRunner(self._compare_batch, self.max_wave_size)
+        runner = WaveRunner(self._compare_batch, self.max_wave_size,
+                            cache_key=self._cache_key_fn)
 
         async def one(i, q, r):
             res = await self._rerank_one(runner, i, q, r)

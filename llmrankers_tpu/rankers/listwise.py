@@ -41,8 +41,17 @@ class ListwiseLlmRanker(EngineRanker):
         scoring: str = "generation",
         max_new_tokens: int = 20,
         max_wave_size: Optional[int] = None,
+        cache_comparisons: bool = False,
     ):
         super().__init__(engine, max_wave_size)
+        if cache_comparisons:
+            # Sound for both scoring modes (greedy decode / label-logit
+            # forward are deterministic in the window contents). Repeated
+            # windows occur across num_repeat passes whenever a pass
+            # leaves a slice unchanged.
+            self._cache_key_fn = lambda r: (
+                r.qidx, tuple(d.docid for d in r.docs)
+            )
         self.window_size = window_size
         self.step_size = step_size
         self.num_repeat = num_repeat

@@ -40,10 +40,18 @@ class PairwiseLlmRanker(EngineRanker):
         method: str = "allpair",
         k: int = 10,
         max_wave_size: Optional[int] = None,
+        cache_comparisons: bool = False,
     ):
         super().__init__(engine, max_wave_size)
         self.method = method
         self.k = k
+        if cache_comparisons:
+            # Sound: greedy decode is a deterministic function of the two
+            # doc texts. Sorts re-compare pairs (bubblesort passes,
+            # heapsort re-sifts); repeats return the memoized outcome
+            # without a dispatch (arXiv:2505.24643). Same final order;
+            # the comparison meter counts LLM calls actually issued.
+            self._cache_key_fn = lambda r: (r.qidx, r.doc1, r.doc2)
         tk = engine.tokenizer
         if engine.kind == "t5":
             self.decoder_prefix = tk.encode("<pad> Passage", add_special_tokens=False)
@@ -122,8 +130,10 @@ class DuoT5LlmRanker(PairwiseLlmRanker):
     """Supervised duoT5 pairwise ranking (pairwise.py:296-352): true/false
     token probabilities at decoder position 0, heapsort only."""
 
-    def __init__(self, engine, method="heapsort", k=10, max_wave_size=None):
-        super().__init__(engine, method=method, k=k, max_wave_size=max_wave_size)
+    def __init__(self, engine, method="heapsort", k=10, max_wave_size=None,
+                 cache_comparisons=False):
+        super().__init__(engine, method=method, k=k, max_wave_size=max_wave_size,
+                         cache_comparisons=cache_comparisons)
         if method != "heapsort":
             raise NotImplementedError(f"Method {method} is not implemented.")
         tk = engine.tokenizer

@@ -48,8 +48,17 @@ class RankR1SetwiseLlmRanker(EngineRanker):
         adapter: Optional[str] = None,  # engine adapter name (vLLM
         # LoRARequest parity, setwise.py:494-497); None = base weights
         spec_depth: int = 1,  # >1: speculative heap pops (latency knob)
+        cache_comparisons: bool = False,
     ):
         super().__init__(engine, max_wave_size)
+        if cache_comparisons:
+            if num_permutation > 1:
+                raise ValueError(
+                    "cache_comparisons requires num_permutation == 1"
+                )
+            self._cache_key_fn = lambda r: (
+                r.qidx, tuple(d.docid for d in r.docs)
+            )
         self.adapter = adapter
         if scoring != "generation":
             raise NotImplementedError(
@@ -194,8 +203,13 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         verbose: bool = False,
         max_wave_size: Optional[int] = None,
         adapter: Optional[str] = None,  # engine adapter name; None = base
+        cache_comparisons: bool = False,
     ):
         super().__init__(engine, max_wave_size)
+        if cache_comparisons:
+            self._cache_key_fn = lambda r: (
+                r.qidx, tuple(d.docid for d in r.docs)
+            )
         self.adapter = adapter
         if engine.kind != "decoder":
             raise ValueError("Rank-R1 rankers run on decoder-only chat models")

@@ -51,8 +51,20 @@ class SetwiseLlmRanker(EngineRanker):
         seed: int = 929,
         max_wave_size: Optional[int] = None,
         spec_depth: int = 1,  # >1: speculative heap pops (latency knob)
+        cache_comparisons: bool = False,
     ):
         super().__init__(engine, max_wave_size)
+        if cache_comparisons:
+            if num_permutation > 1:
+                # Permutation self-consistency draws from a shared RNG
+                # stream per comparison; skipping repeats would shift the
+                # stream and change later shuffles.
+                raise ValueError(
+                    "cache_comparisons requires num_permutation == 1"
+                )
+            self._cache_key_fn = lambda r: (
+                r.qidx, tuple(d.docid for d in r.docs)
+            )
         if spec_depth > 1 and num_permutation > 1 and scoring == "generation":
             # Discarded speculative comparisons would advance the shared
             # permutation RNG stream and silently change every later

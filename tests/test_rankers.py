@@ -312,6 +312,35 @@ def test_engine_on_tp_mesh():
     assert len(out) == 8
 
 
+def test_cache_comparisons_same_order_fewer_calls():
+    """Comparison memoization (arXiv:2505.24643): identical final order,
+    strictly fewer issued LLM comparisons on workloads with repeats."""
+    vals = [17, 3, 94, 55, 21, 8, 76, 42, 63, 30, 5, 88, 12, 66, 39, 71]
+    docs = [SearchResult(f"d{i}", 0.0, f"passage with relevance {v}")
+            for i, v in enumerate(vals)]
+
+    for mk in (
+        lambda c: PairwiseLlmRanker(OracleEngine(), method="heapsort", k=5,
+                                    cache_comparisons=c),
+        lambda c: PairwiseLlmRanker(OracleEngine(), method="bubblesort", k=5,
+                                    cache_comparisons=c),
+        lambda c: ListwiseLlmRanker(OracleEngine(), window_size=4, step_size=2,
+                                    num_repeat=3, scoring="likelihood",
+                                    cache_comparisons=c),
+    ):
+        base, cached = mk(False), mk(True)
+        out_base = base.rerank("q", list(docs))
+        out_cached = cached.rerank("q", list(docs))
+        assert [d.docid for d in out_cached] == [d.docid for d in out_base]
+        assert cached.total_compare < base.total_compare
+
+    # Unsound combination is rejected: permutation voting consumes a
+    # shared RNG stream that cache hits would skip.
+    with pytest.raises(ValueError, match="cache_comparisons"):
+        SetwiseLlmRanker(OracleEngine(), num_child=2, k=3,
+                         num_permutation=3, cache_comparisons=True)
+
+
 def test_pad_batch_cap_divisible_by_data_axis():
     """A memory-capped batch (b_cap below the smallest batch bucket) must
     still round up to a multiple of the mesh's data axis — device_put
