@@ -117,6 +117,13 @@ def build_parsers():
     lw.add_argument("--step_size", type=int, default=1)
     lw.add_argument("--num_repeat", type=int, default=1)
     lw.add_argument("--prompt_file", type=str, default=None)
+    lw.add_argument("--method", type=str, default="sliding",
+                    choices=["sliding", "topdown"],
+                    help="'sliding' = reference bottom-up window walk; "
+                         "'topdown' = parallel pivot partitioning "
+                         "(arXiv:2405.14589) — every level is one wave")
+    lw.add_argument("--k", type=int, default=10,
+                    help="topdown pivot rank (unused by sliding)")
     lw.add_argument("--cache_comparisons", action="store_true", help=_cache_help)
 
     return parser, commands
@@ -292,6 +299,8 @@ def make_ranker(args, engine):
                 num_repeat=args.listwise.num_repeat,
                 verbose=args.run.verbose,
                 cache_comparisons=args.listwise.cache_comparisons,
+                method=args.listwise.method,
+                k=args.listwise.k,
             )
         return ListwiseLlmRanker(
             engine,
@@ -300,6 +309,8 @@ def make_ranker(args, engine):
             num_repeat=args.listwise.num_repeat,
             scoring=args.run.scoring,
             cache_comparisons=args.listwise.cache_comparisons,
+            method=args.listwise.method,
+            k=args.listwise.k,
         )
     raise ValueError(
         "Must specify one of --pointwise, --setwise, --pairwise, --listwise."

@@ -42,6 +42,8 @@ class ListwiseLlmRanker(EngineRanker):
         max_new_tokens: int = 20,
         max_wave_size: Optional[int] = None,
         cache_comparisons: bool = False,
+        method: str = "sliding",  # 'sliding' (reference) | 'topdown'
+        k: int = 10,  # topdown pivot rank (unused by sliding)
     ):
         super().__init__(engine, max_wave_size)
         if cache_comparisons:
@@ -52,6 +54,10 @@ class ListwiseLlmRanker(EngineRanker):
             self._cache_key_fn = lambda r: (
                 r.qidx, tuple(d.docid for d in r.docs)
             )
+        if method not in ("sliding", "topdown"):
+            raise NotImplementedError(f"Method {method} is not implemented.")
+        self.method = method
+        self.k = k
         self.window_size = window_size
         self.step_size = step_size
         self.num_repeat = num_repeat
@@ -75,9 +81,17 @@ class ListwiseLlmRanker(EngineRanker):
         async def compare(window: List[SearchResult]) -> str:
             return await runner.compare(_WindowRequest(qidx, query, window))
 
-        ordered = await listwise_window.sliding_window(
-            list(ranking), self.window_size, self.step_size, self.num_repeat, compare
-        )
+        if self.method == "topdown":
+            # Beyond-reference extension (arXiv:2405.14589): parallel
+            # pivot partitioning — every level is one device wave.
+            ordered = await listwise_window.topdown(
+                runner, list(ranking), self.k, self.window_size, compare
+            )
+        else:
+            ordered = await listwise_window.sliding_window(
+                list(ranking), self.window_size, self.step_size,
+                self.num_repeat, compare,
+            )
         return [
             SearchResult(docid=d.docid, score=-i, text=d.text)
             for i, d in enumerate(ordered)

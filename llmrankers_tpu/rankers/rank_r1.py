@@ -204,12 +204,18 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         max_wave_size: Optional[int] = None,
         adapter: Optional[str] = None,  # engine adapter name; None = base
         cache_comparisons: bool = False,
+        method: str = "sliding",  # 'sliding' (reference) | 'topdown'
+        k: int = 10,  # topdown pivot rank (unused by sliding)
     ):
         super().__init__(engine, max_wave_size)
         if cache_comparisons:
             self._cache_key_fn = lambda r: (
                 r.qidx, tuple(d.docid for d in r.docs)
             )
+        if method not in ("sliding", "topdown"):
+            raise NotImplementedError(f"Method {method} is not implemented.")
+        self.method = method
+        self.k = k
         self.adapter = adapter
         if engine.kind != "decoder":
             raise ValueError("Rank-R1 rankers run on decoder-only chat models")
@@ -227,6 +233,14 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         async def compare(window: List[SearchResult]) -> str:
             return await runner.compare(_SetRequest(qidx, query, window))
 
+        if self.method == "topdown":
+            ordered = await listwise_window.topdown(
+                runner, list(ranking), self.k, self.window_size, compare
+            )
+            return [
+                SearchResult(docid=d.docid, score=-i, text=d.text)
+                for i, d in enumerate(ordered)
+            ]
         ordered = await listwise_window.sliding_window(
             list(ranking), self.window_size, self.step_size, self.num_repeat, compare
         )

@@ -501,3 +501,46 @@ def test_spec_heapsort_cuts_waves():
     spec_out, spec_waves = run(6)
     assert spec_out == seq_out
     assert spec_waves < seq_waves * 0.55, (seq_waves, spec_waves)
+
+
+def test_topdown_finds_topk_in_few_waves():
+    """Top-down partitioning (arXiv:2405.14589): with a perfect oracle the
+    top-k is the EXACT true top-k (a single sliding pass only guarantees
+    the top-1), found in O(log)-depth sequential waves because each
+    partition level's windows ride one wave."""
+    rng = random.Random(929)
+    arr = rng.sample(range(1000), 100)
+    k, w = 10, 20  # the paper's RankZephyr-style configuration
+
+    def perm_str(window):
+        order = sorted(range(len(window)), key=lambda i: -window[i])
+        return " > ".join(f"[{i+1}]" for i in order)
+
+    td_runner = WaveRunner(lambda reqs: [perm_str(r) for r in reqs])
+
+    async def td_compare(window):
+        return await td_runner.compare(window)
+
+    got = td_runner.run(
+        [listwise_window.topdown(td_runner, list(arr), k, w, td_compare)]
+    )[0]
+    assert got[:k] == sorted(arr, reverse=True)[:k]
+    assert sorted(got) == sorted(arr)  # nothing lost or duplicated
+    # 100 docs: head wave + 1 parallel partition level + small recursion.
+    assert td_runner.num_waves <= 8
+
+
+def test_topdown_small_input_single_window():
+    def perm_str(window):
+        order = sorted(range(len(window)), key=lambda i: -window[i])
+        return " > ".join(f"[{i+1}]" for i in order)
+
+    runner = WaveRunner(lambda reqs: [perm_str(r) for r in reqs])
+
+    async def compare(window):
+        return await runner.compare(window)
+
+    got = runner.run(
+        [listwise_window.topdown(runner, [3, 9, 1], 10, 5, compare)]
+    )[0]
+    assert got == [9, 3, 1]

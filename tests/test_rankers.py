@@ -312,6 +312,25 @@ def test_engine_on_tp_mesh():
     assert len(out) == 8
 
 
+def test_listwise_topdown_topk():
+    """Top-down listwise ranking through the ranker surface: exact top-k
+    with the oracle engine, in both scoring modes."""
+    vals = [17, 3, 94, 55, 21, 8, 76, 42, 63, 30, 5, 88, 12, 66, 39, 71,
+            2, 50, 81, 27]
+    docs = [SearchResult(f"d{i}", 0.0, f"passage with relevance {v}")
+            for i, v in enumerate(vals)]
+    want = [f"d{i}" for i in np.argsort(vals)[::-1][:5]]
+    for scoring in ("likelihood", "generation"):
+        r = ListwiseLlmRanker(OracleEngine(), window_size=6, k=5,
+                              scoring=scoring, method="topdown")
+        out = r.rerank("q", list(docs))
+        assert [d.docid for d in out[:5]] == want, scoring
+        assert len(out) == len(docs)
+
+    with pytest.raises(NotImplementedError):
+        ListwiseLlmRanker(OracleEngine(), method="quicksort")
+
+
 def test_cache_comparisons_same_order_fewer_calls():
     """Comparison memoization (arXiv:2505.24643): identical final order,
     strictly fewer issued LLM comparisons on workloads with repeats."""
