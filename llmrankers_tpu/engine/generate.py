@@ -68,6 +68,15 @@ def t5_greedy_generate(
     v_cache = jnp.zeros((Ld, B, H, T, Dh), dtype)
     rel_table = params["decoder"]["rel_bias"]
 
+    # Relative-position bias of distance 0 (the current token against
+    # itself) — constant across steps.
+    bucket0 = t5_mod.relative_position_bucket(
+        jnp.zeros((1,), jnp.int32), False,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )
+    bias_self = rel_table[bucket0][0]  # [H]
+
     def step(carry, t):
         prev_tok, kc, vc, done = carry
         y_in = jnp.where(t < P, prefix_ids[:, jnp.minimum(t, P - 1)], prev_tok)
@@ -81,7 +90,11 @@ def t5_greedy_generate(
             cfg.relative_attention_max_distance,
         )
         bias_t = rel_table[buckets].T  # [H, T]
-        self_mask = (key_pos <= t)[None, None, :]  # [1, 1, T]
+        # Cache positions < t are valid; position t (the current token) is
+        # handled as a rank-1 online-softmax term below, so the caches can
+        # stay READ-ONLY inside the layer scan — writing them per layer
+        # (cache as scan ys) makes XLA copy the full cache every step.
+        self_mask = (key_pos < t)[None, None, :]  # [1, 1, T]
 
         def layer(h, xs):
             lp, kcl, vcl, ckl, cvl = xs
@@ -89,13 +102,21 @@ def t5_greedy_generate(
             q = (hn @ lp["q"]).reshape(B, H, Dh)
             k_new = (hn @ lp["k"]).reshape(B, H, Dh)
             v_new = (hn @ lp["v"]).reshape(B, H, Dh)
-            kcl = jax.lax.dynamic_update_slice(kcl, k_new[:, :, None, :], (0, 0, t, 0))
-            vcl = jax.lax.dynamic_update_slice(vcl, v_new[:, :, None, :], (0, 0, t, 0))
             s = jnp.einsum("bhd,bhtd->bht", q, kcl, preferred_element_type=jnp.float32)
             s = s + bias_t[None].astype(s.dtype)
             s = jnp.where(self_mask, s, NEG_INF)
-            p = jax.nn.softmax(s, axis=-1).astype(dtype)
-            a = jnp.einsum("bht,bhtd->bhd", p, vcl, preferred_element_type=jnp.float32)
+            s_self = jnp.einsum(
+                "bhd,bhd->bh", q, k_new, preferred_element_type=jnp.float32
+            ) + bias_self[None].astype(jnp.float32)
+            m = jnp.maximum(jnp.max(s, axis=-1), s_self)  # [B, H]
+            p = jnp.exp(s - m[..., None])
+            p_self = jnp.exp(s_self - m)
+            z = p.sum(axis=-1) + p_self
+            a = (
+                jnp.einsum("bht,bhtd->bhd", p.astype(dtype), vcl,
+                           preferred_element_type=jnp.float32)
+                + p_self[..., None] * v_new.astype(jnp.float32)
+            ) / z[..., None]
             h = h + a.astype(dtype).reshape(B, H * Dh) @ lp["o"]
 
             hn2 = rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon)
@@ -108,9 +129,15 @@ def t5_greedy_generate(
 
             hn3 = rms_norm(h, lp["ln3"], cfg.layer_norm_epsilon)
             f = t5_mod._ffn(lp, cfg, hn3[:, None, :])[:, 0, :]
-            return h + f, (kcl, vcl)
+            return h + f, (k_new, v_new)
 
-        h, (kc, vc) = jax.lax.scan(layer, x, (lyr, kc, vc, ck, cv))
+        h, (k_new, v_new) = jax.lax.scan(layer, x, (lyr, kc, vc, ck, cv))
+        kc = jax.lax.dynamic_update_slice(
+            kc, k_new[:, :, :, None, :], (0, 0, 0, t, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v_new[:, :, :, None, :], (0, 0, 0, t, 0)
+        )
         h = rms_norm(h, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
         logits = t5_mod.lm_logits(params, cfg, h)  # [B, V]
         nxt = jnp.argmax(logits, axis=-1).astype(prefix_ids.dtype)
@@ -381,8 +408,14 @@ def decoder_decode_chunk(
         # RoPE position is per-row `pos`.
         x = params["embed"][tok]  # [B, D]
         cos, sin = rope_cos_sin(pos[:, None], Dh, cfg.rope_theta, dtype=x.dtype)
-        kmask = kmask.at[:, L + t].set(True)
 
+        # The caches enter the layer scan as READ-ONLY xs. Writing them
+        # per layer (cache as scan carry/ys) forces XLA to copy the whole
+        # [Ld,B,KV,T,Dh] cache every step — measured 1.6x total decode
+        # step time on v5e at Qwen2.5-3B shapes. Instead each layer emits
+        # only its new (k, v) row; the current token joins attention as a
+        # rank-1 online-softmax term; ONE tiny dynamic_update_slice after
+        # the scan appends all layers' rows in place.
         def layer(h, xs):
             lp, kcl, vcl = xs
             hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
@@ -399,8 +432,6 @@ def decoder_decode_chunk(
                 k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
             q = apply_rope(q[:, :, None, :], cos, sin)[:, :, 0, :]
             k = apply_rope(k[:, :, None, :], cos, sin)[:, :, 0, :]
-            kcl = jax.lax.dynamic_update_slice(kcl, k[:, :, None, :], (0, 0, L + t, 0))
-            vcl = jax.lax.dynamic_update_slice(vcl, v[:, :, None, :], (0, 0, L + t, 0))
             # Grouped-query attention against the cache without
             # materializing repeated K/V ([B,H,T,Dh] would be re-written
             # to HBM every step).
@@ -411,17 +442,36 @@ def decoder_decode_chunk(
             )
             s = s * (Dh**-0.5)
             s = jnp.where(kmask[:, None, None, :], s, NEG_INF)
-            p = jax.nn.softmax(s, axis=-1).astype(dtype)
-            a = jnp.einsum(
-                "bkgt,bktd->bkgd", p, vcl, preferred_element_type=jnp.float32
-            )
+            # Current token's self-attention as an online-softmax term
+            # (its k/v are not in the cache yet).
+            s_self = jnp.einsum(
+                "bkgd,bkd->bkg", qg, k, preferred_element_type=jnp.float32
+            ) * (Dh**-0.5)
+            m = jnp.maximum(jnp.max(s, axis=-1), s_self)  # [B, KV, G]
+            p = jnp.exp(s - m[..., None])
+            p_self = jnp.exp(s_self - m)
+            z = p.sum(axis=-1) + p_self
+            a = (
+                jnp.einsum(
+                    "bkgt,bktd->bkgd", p.astype(dtype), vcl,
+                    preferred_element_type=jnp.float32,
+                )
+                + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
+            ) / z[..., None]
             h = h + a.astype(dtype).reshape(B, H * Dh) @ wmat(lp, "wo")
             hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
             f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
                  * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
-            return h + f, (kcl, vcl)
+            return h + f, (k, v)
 
-        h, (kc, vc) = jax.lax.scan(layer, x, (params["layers"], kc, vc))
+        h, (k_new, v_new) = jax.lax.scan(layer, x, (params["layers"], kc, vc))
+        kc = jax.lax.dynamic_update_slice(
+            kc, k_new[:, :, :, None, :], (0, 0, 0, L + t, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v_new[:, :, :, None, :], (0, 0, 0, L + t, 0)
+        )
+        kmask = kmask.at[:, L + t].set(True)
         h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
         logits = dec_mod.lm_logits(params, cfg, h)
         if temperature > 0.0 and rng is not None:

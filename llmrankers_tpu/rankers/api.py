@@ -104,6 +104,9 @@ class _ApiRankerBase(EngineRanker):
         LlmRanker.__init__(self)
         self.client = client
         self.max_wave_size = max_wave_size
+        # API completions are not deterministic functions of the request,
+        # so comparison memoization never applies here.
+        self._cache_key_fn = None
         self._query_stats: List[RerankStats] = []
 
     def truncate(self, text: str, length: int) -> str:
