@@ -69,6 +69,11 @@ def build_parsers():
                        help="weight-only int8 for decoder models (halves "
                             "weight HBM; ~2x decode throughput at serving "
                             "batch sizes)")
+    run_p.add_argument("--kv_quantize", type=str, default=None,
+                       choices=["int8"],
+                       help="int8 KV cache for decoder models (halves the "
+                            "cache HBM stream during decode and doubles "
+                            "rows-per-chip under the memory cap)")
     run_p.add_argument("--event_log", type=str, default=None)
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
@@ -208,7 +213,8 @@ def make_engine(run_args, lora_path=None):
     # Adapter merge above happens in bf16 BEFORE quantization (merging
     # onto int8 weights is unsupported, models/quant.py).
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
-                         quantize=run_args.quantize)
+                         quantize=run_args.quantize,
+                         kv_quantize=run_args.kv_quantize)
 
 
 def make_ranker(args, engine):

@@ -72,6 +72,7 @@ class ScoringEngine:
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
         quantize: Optional[str] = None,  # None | 'int8' (decoder weights)
+        kv_quantize: Optional[str] = None,  # None | 'int8' (decoder KV cache)
         max_cached_adapters: int = 1,  # merged-weight copies kept on device
     ):
         import dataclasses
@@ -85,6 +86,12 @@ class ScoringEngine:
             if kind != "decoder":
                 raise ValueError("weight-only int8 targets decoder models")
             params = jax.jit(quant_mod.quantize_decoder_params)(params)
+        if kv_quantize is not None:
+            if kv_quantize != "int8":
+                raise ValueError(f"unknown kv_quantize mode {kv_quantize!r}")
+            if kind != "decoder":
+                raise ValueError("int8 KV cache targets decoder models")
+            cfg = dataclasses.replace(cfg, kv_quant=True)
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
         # Flash policy, measured on v5e (see docs/ARCHITECTURE.md §4):
@@ -289,9 +296,11 @@ class ScoringEngine:
                 + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # transients
             )
         else:
+            # int8 KV halves the cache bytes (plus fp32 scales, 4/Dh).
+            kv_bpe = (1 + 4.0 / cfg.head_dim_) if cfg.kv_quant else bpe
             per_row = (
                 cfg.num_hidden_layers * cfg.num_key_value_heads
-                * cfg.head_dim_ * (L + max_new) * 2 * bpe  # self K/V
+                * cfg.head_dim_ * (L + max_new) * 2 * kv_bpe  # self K/V
                 + 6 * L * max(cfg.intermediate_size, cfg.hidden_size) * bpe
             )
         try:

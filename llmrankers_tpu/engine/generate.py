@@ -35,6 +35,21 @@ from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 NEG_INF = -1e9
 
 
+def _kv_quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(position, kv-head) symmetric int8 for KV-cache entries:
+    x [..., Dh] -> (int8 values, fp32 scales [..., 1]).
+
+    The cache is what crosses HBM every decode step; at serving batches
+    (B>=32) or long contexts the KV stream rivals the weight stream, so
+    int8 halves it — and halves the per-row cache footprint that bounds
+    rows-per-chip (engine._gen_row_limit). Scales are per position and
+    per kv-head (finest granularity that adds only Dh^-1 overhead)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    q = jnp.clip(jnp.round(xf / amax * 127.0), -127, 127).astype(jnp.int8)
+    return q, amax / 127.0
+
+
 # ---------------------------------------------------------------------------
 # T5 encoder-decoder greedy generation
 # ---------------------------------------------------------------------------
@@ -213,8 +228,15 @@ def decoder_prefill(
         f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
              * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
         # Cache padded out to T along the length axis.
-        kc = jnp.pad(k, ((0, 0), (0, 0), (0, T - L), (0, 0)))
-        vc = jnp.pad(v, ((0, 0), (0, 0), (0, T - L), (0, 0)))
+        if cfg.kv_quant:
+            k8, ks = _kv_quant(k)
+            v8, vs = _kv_quant(v)
+            pad = ((0, 0), (0, 0), (0, T - L), (0, 0))
+            kc = (jnp.pad(k8, pad), jnp.pad(ks, pad))
+            vc = (jnp.pad(v8, pad), jnp.pad(vs, pad))
+        else:
+            kc = jnp.pad(k, ((0, 0), (0, 0), (0, T - L), (0, 0)))
+            vc = jnp.pad(v, ((0, 0), (0, 0), (0, T - L), (0, 0)))
         return h + f, (kc, vc)
 
     h, (k_cache, v_cache) = jax.lax.scan(layer, x, params["layers"])
@@ -337,14 +359,17 @@ def decoder_shared_prefill(
     if max_new_tokens is None:
         return last_h, None
     T_new = max_new_tokens
-    k_cache = jnp.pad(
-        jnp.concatenate([pre_k, ks], axis=3),
-        ((0, 0), (0, 0), (0, 0), (0, T_new), (0, 0)),
-    )
-    v_cache = jnp.pad(
-        jnp.concatenate([pre_v, vs], axis=3),
-        ((0, 0), (0, 0), (0, 0), (0, T_new), (0, 0)),
-    )
+    pad = ((0, 0), (0, 0), (0, 0), (0, T_new), (0, 0))
+    k_all = jnp.concatenate([pre_k, ks], axis=3)
+    v_all = jnp.concatenate([pre_v, vs], axis=3)
+    if cfg.kv_quant:
+        k8, ksc = _kv_quant(k_all)
+        v8, vsc = _kv_quant(v_all)
+        k_cache = (jnp.pad(k8, pad), jnp.pad(ksc, pad))
+        v_cache = (jnp.pad(v8, pad), jnp.pad(vsc, pad))
+    else:
+        k_cache = jnp.pad(k_all, pad)
+        v_cache = jnp.pad(v_all, pad)
     key_mask = jnp.pad(
         jnp.concatenate([pre_mask, suffix_mask], axis=1).astype(bool),
         ((0, 0), (0, T_new)),
@@ -395,7 +420,7 @@ def decoder_decode_chunk(
     k_cache, v_cache, key_mask, next_pos = cache
     B = first_token.shape[0]
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    T = k_cache.shape[3]
+    T = (k_cache[0] if cfg.kv_quant else k_cache).shape[3]
     dtype = params["embed"].dtype
     L = prompt_len
     if done is None:
@@ -437,9 +462,23 @@ def decoder_decode_chunk(
             # to HBM every step).
             G = H // KV
             qg = q.reshape(B, KV, G, Dh)
-            s = jnp.einsum(
-                "bkgd,bktd->bkgt", qg, kcl, preferred_element_type=jnp.float32
-            )
+            if cfg.kv_quant:
+                # int8 cache: dequant folds into the dots — the k scale
+                # (per output column t) applies AFTER the q.k dot, the v
+                # scale (per contracted t) folds into p. Only int8 bytes
+                # cross HBM.
+                k8l, ksl = kcl
+                v8l, vsl = vcl
+                s = jnp.einsum(
+                    "bkgd,bktd->bkgt", qg, k8l.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) * ksl[..., 0][:, :, None, :]
+            else:
+                v8l = vcl
+                vsl = None
+                s = jnp.einsum(
+                    "bkgd,bktd->bkgt", qg, kcl, preferred_element_type=jnp.float32
+                )
             s = s * (Dh**-0.5)
             s = jnp.where(kmask[:, None, None, :], s, NEG_INF)
             # Current token's self-attention as an online-softmax term
@@ -451,9 +490,12 @@ def decoder_decode_chunk(
             p = jnp.exp(s - m[..., None])
             p_self = jnp.exp(s_self - m)
             z = p.sum(axis=-1) + p_self
+            if vsl is not None:
+                p = p * vsl[..., 0][:, :, None, :]
+                v8l = v8l.astype(dtype)
             a = (
                 jnp.einsum(
-                    "bkgt,bktd->bkgd", p.astype(dtype), vcl,
+                    "bkgt,bktd->bkgd", p.astype(dtype), v8l,
                     preferred_element_type=jnp.float32,
                 )
                 + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
@@ -465,12 +507,24 @@ def decoder_decode_chunk(
             return h + f, (k, v)
 
         h, (k_new, v_new) = jax.lax.scan(layer, x, (params["layers"], kc, vc))
-        kc = jax.lax.dynamic_update_slice(
-            kc, k_new[:, :, :, None, :], (0, 0, 0, L + t, 0)
-        )
-        vc = jax.lax.dynamic_update_slice(
-            vc, v_new[:, :, :, None, :], (0, 0, 0, L + t, 0)
-        )
+
+        def _append(cache_, new):
+            if cfg.kv_quant:
+                q8, sc = _kv_quant(new)  # [Ld,B,KV,Dh] -> + scale [Ld,B,KV,1]
+                return (
+                    jax.lax.dynamic_update_slice(
+                        cache_[0], q8[:, :, :, None, :], (0, 0, 0, L + t, 0)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        cache_[1], sc[:, :, :, None, :], (0, 0, 0, L + t, 0)
+                    ),
+                )
+            return jax.lax.dynamic_update_slice(
+                cache_, new[:, :, :, None, :], (0, 0, 0, L + t, 0)
+            )
+
+        kc = _append(kc, k_new)
+        vc = _append(vc, v_new)
         kmask = kmask.at[:, L + t].set(True)
         h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
         logits = dec_mod.lm_logits(params, cfg, h)

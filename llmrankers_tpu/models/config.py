@@ -117,6 +117,10 @@ class DecoderConfig:
     bos_token_id: int = 1
     use_flash: bool = False
     flash_mesh: Optional[Any] = None  # see T5Config.flash_mesh
+    # int8 KV cache (per-position/per-kv-head scales): halves the cache
+    # HBM stream during decode and the per-row cache footprint. Set by
+    # the engine via kv_quantize='int8'.
+    kv_quant: bool = False
 
     @property
     def head_dim_(self) -> int:
