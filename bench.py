@@ -211,7 +211,7 @@ def t5_generation(cfg, n_queries=8, n_docs=100):
 
 
 def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128,
-                  quantize=None):
+                  quantize=None, kv_quantize=None):
     """Rank-R1-style long generation on a Qwen2.5-3B-shaped decoder:
     shared-prefix prefill (instruction+query head shared across the
     batch, vLLM prefix-caching equivalent) + chunked greedy decode with
@@ -226,7 +226,8 @@ def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128,
     cfg = DecoderConfig.qwen25_3b()
     params = dec_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
-    engine = ScoringEngine("decoder", cfg, params, tok, quantize=quantize)
+    engine = ScoringEngine("decoder", cfg, params, tok, quantize=quantize,
+                           kv_quantize=kv_quantize)
 
     rng = np.random.RandomState(929)
     pre = rng.randint(2, 30000, n_prefix).tolist()
@@ -251,6 +252,7 @@ def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128,
         "tokens_per_sec_total": round((prompt_tokens + gen_tokens) / wall, 1),
         "prefix_shared": engine.prefix_share,
         "quantize": quantize,
+        "kv_quantize": kv_quantize,
     }
 
 
@@ -278,6 +280,12 @@ def main():
     if "rankr1" in sections:
         detail["rankr1"] = rankr1_decode()
         detail["rankr1_int8"] = rankr1_decode(quantize="int8")
+        # int8 weights + int8 KV: the full-quantized serving config. KV
+        # gains grow with batch (the cache stream scales with B; weights
+        # don't), so this row runs the larger serving batch.
+        detail["rankr1_int8_kv8_b32"] = rankr1_decode(
+            batch=32, quantize="int8", kv_quantize="int8"
+        )
     xl = None
     if "xl" in sections:
         xl = t5_throughput(

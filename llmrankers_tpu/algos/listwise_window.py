@@ -76,6 +76,12 @@ async def topdown(
     pivot. The pool shrinks strictly every level (pivot and its tail
     never recurse), so termination is guaranteed.
     """
+    if window_size < 2:
+        raise ValueError("topdown needs window_size >= 2 (a window must "
+                         "hold the pivot plus at least one candidate)")
+    if k < 1:
+        raise ValueError("topdown needs k >= 1 (the pivot is the k-th "
+                         "ranked head item)")
     items = list(ranking)
     w = window_size
     if len(items) <= w:

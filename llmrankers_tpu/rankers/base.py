@@ -33,6 +33,13 @@ class EngineRanker(LlmRanker):
         self._cache_key_fn: Optional[Callable[[Any], Any]] = None
         self._query_stats: List[RerankStats] = []
 
+    @staticmethod
+    def _docid_cache_key(r: Any) -> Any:
+        """Memoization key for window/set requests: query index + docid
+        tuple IN ORDER (order changes the prompt, hence the output).
+        Single definition so every ranker caches under the same shape."""
+        return (r.qidx, tuple(d.docid for d in r.docs))
+
     # Subclasses implement: one query's ranking coroutine + a batch executor.
     async def _rerank_one(self, runner: WaveRunner, qidx: int, query: str,
                           ranking: List[SearchResult]) -> List[SearchResult]:

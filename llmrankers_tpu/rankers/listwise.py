@@ -13,6 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import sys
+
 import numpy as np
 
 from ..algos import listwise_window
@@ -51,11 +53,12 @@ class ListwiseLlmRanker(EngineRanker):
             # forward are deterministic in the window contents). Repeated
             # windows occur across num_repeat passes whenever a pass
             # leaves a slice unchanged.
-            self._cache_key_fn = lambda r: (
-                r.qidx, tuple(d.docid for d in r.docs)
-            )
+            self._cache_key_fn = self._docid_cache_key
         if method not in ("sliding", "topdown"):
             raise NotImplementedError(f"Method {method} is not implemented.")
+        if method == "topdown" and (num_repeat != 1 or step_size != 1):
+            print("topdown ignores num_repeat/step_size (single-pass "
+                  "pivot partitioning)", file=sys.stderr)
         self.method = method
         self.k = k
         self.window_size = window_size

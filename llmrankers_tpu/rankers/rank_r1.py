@@ -56,9 +56,7 @@ class RankR1SetwiseLlmRanker(EngineRanker):
                 raise ValueError(
                     "cache_comparisons requires num_permutation == 1"
                 )
-            self._cache_key_fn = lambda r: (
-                r.qidx, tuple(d.docid for d in r.docs)
-            )
+            self._cache_key_fn = self._docid_cache_key
         self.adapter = adapter
         if scoring != "generation":
             raise NotImplementedError(
@@ -209,11 +207,12 @@ class RankR1ListwiseLlmRanker(EngineRanker):
     ):
         super().__init__(engine, max_wave_size)
         if cache_comparisons:
-            self._cache_key_fn = lambda r: (
-                r.qidx, tuple(d.docid for d in r.docs)
-            )
+            self._cache_key_fn = self._docid_cache_key
         if method not in ("sliding", "topdown"):
             raise NotImplementedError(f"Method {method} is not implemented.")
+        if method == "topdown" and (num_repeat != 1 or step_size != 10):
+            print("topdown ignores num_repeat/step_size (single-pass "
+                  "pivot partitioning)", file=sys.stderr)
         self.method = method
         self.k = k
         self.adapter = adapter
@@ -237,13 +236,11 @@ class RankR1ListwiseLlmRanker(EngineRanker):
             ordered = await listwise_window.topdown(
                 runner, list(ranking), self.k, self.window_size, compare
             )
-            return [
-                SearchResult(docid=d.docid, score=-i, text=d.text)
-                for i, d in enumerate(ordered)
-            ]
-        ordered = await listwise_window.sliding_window(
-            list(ranking), self.window_size, self.step_size, self.num_repeat, compare
-        )
+        else:
+            ordered = await listwise_window.sliding_window(
+                list(ranking), self.window_size, self.step_size,
+                self.num_repeat, compare,
+            )
         return [
             SearchResult(docid=d.docid, score=-i, text=d.text)
             for i, d in enumerate(ordered)
@@ -276,6 +273,6 @@ class RankR1ListwiseLlmRanker(EngineRanker):
             if m:
                 out.append(m.group(1).strip())
             else:
-                print("Completion for no match:", text[:200])
+                print("Completion for no match:", text[:200], file=sys.stderr)
                 out.append("None")  # parse failure keeps window order
         return out

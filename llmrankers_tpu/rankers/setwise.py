@@ -62,9 +62,7 @@ class SetwiseLlmRanker(EngineRanker):
                 raise ValueError(
                     "cache_comparisons requires num_permutation == 1"
                 )
-            self._cache_key_fn = lambda r: (
-                r.qidx, tuple(d.docid for d in r.docs)
-            )
+            self._cache_key_fn = self._docid_cache_key
         if spec_depth > 1 and num_permutation > 1 and scoring == "generation":
             # Discarded speculative comparisons would advance the shared
             # permutation RNG stream and silently change every later
@@ -216,7 +214,7 @@ class SetwiseLlmRanker(EngineRanker):
                         continue
                     candidates.append(perm[labs.index(label)])
                 if not candidates:
-                    print("Unexpected voting.")
+                    print("Unexpected voting.", file=sys.stderr)
                     out.append(0)
                 else:
                     counts: dict = {}

@@ -544,3 +544,19 @@ def test_topdown_small_input_single_window():
         [listwise_window.topdown(runner, [3, 9, 1], 10, 5, compare)]
     )[0]
     assert got == [9, 3, 1]
+
+
+def test_topdown_rejects_degenerate_params():
+    runner = WaveRunner(lambda reqs: ["[1]" for _ in reqs])
+
+    async def compare(window):
+        return await runner.compare(window)
+
+    # window_size=1 would make the partition chunk step zero; k=0 would
+    # pick the head window's WORST item as the pivot. Both are rejected
+    # up front instead of crashing/degrading mid-rerank.
+    with pytest.raises(ValueError, match="window_size"):
+        runner.run([listwise_window.topdown(runner, list(range(5)), 10, 1, compare)])
+    runner2 = WaveRunner(lambda reqs: ["[1]" for _ in reqs])
+    with pytest.raises(ValueError, match="k >= 1"):
+        runner2.run([listwise_window.topdown(runner2, list(range(5)), 0, 3, compare)])
