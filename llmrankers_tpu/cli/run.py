@@ -74,6 +74,12 @@ def build_parsers():
                        help="int8 KV cache for decoder models (halves the "
                             "cache HBM stream during decode and doubles "
                             "rows-per-chip under the memory cap)")
+    run_p.add_argument("--spec_lookup", type=int, default=0,
+                       help="K>0: prompt-lookup speculative decoding with "
+                            "K-token drafts (decoder generation; outputs "
+                            "identical to plain greedy — vLLM ngram-spec "
+                            "parity). Pays off when completions quote the "
+                            "prompt, e.g. Rank-R1 reasoning")
     run_p.add_argument("--event_log", type=str, default=None)
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
@@ -214,7 +220,8 @@ def make_engine(run_args, lora_path=None):
     # onto int8 weights is unsupported, models/quant.py).
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
                          quantize=run_args.quantize,
-                         kv_quantize=run_args.kv_quantize)
+                         kv_quantize=run_args.kv_quantize,
+                         spec_lookup=run_args.spec_lookup)
 
 
 def make_ranker(args, engine):

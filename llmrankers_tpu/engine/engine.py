@@ -73,6 +73,8 @@ class ScoringEngine:
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
         quantize: Optional[str] = None,  # None | 'int8' (decoder weights)
         kv_quantize: Optional[str] = None,  # None | 'int8' (decoder KV cache)
+        spec_lookup: int = 0,  # >0: prompt-lookup speculative decoding
+        # with K-token drafts (decoder generation; vLLM ngram-spec parity)
         max_cached_adapters: int = 1,  # merged-weight copies kept on device
     ):
         import dataclasses
@@ -92,6 +94,11 @@ class ScoringEngine:
             if kind != "decoder":
                 raise ValueError("int8 KV cache targets decoder models")
             cfg = dataclasses.replace(cfg, kv_quant=True)
+        if spec_lookup and kind != "decoder":
+            raise ValueError("spec_lookup targets decoder generation")
+        self.spec_lookup = int(spec_lookup)
+        # accept-rate observability: totals over this engine's lifetime
+        self.spec_stats = {"tokens": 0, "rounds": 0}
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
         # Flash policy, measured on v5e (see docs/ARCHITECTURE.md §4):
@@ -445,6 +452,14 @@ class ScoringEngine:
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
             chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
+            spec = self.spec_lookup > 0 and self.kind == "decoder"
+            # Speculation pads the cache so a budget-crossing verify block
+            # (and the harmless frozen-row block writes after it) stay in
+            # bounds (generate.decoder_spec_decode_chunk docstring).
+            mn_pad = (
+                max_new_tokens + 2 * (self.spec_lookup + 1)
+                if spec else max_new_tokens
+            )
             grp = None if self.kind == "t5" else self._group(chunk, row_limit)
             if self.kind == "t5":
                 ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
@@ -455,7 +470,21 @@ class ScoringEngine:
                 B = args[3].shape[0]
                 prompt_len = args[0].shape[1] + args[3].shape[1]
                 shapes = (args[0].shape, args[3].shape)
-                if chunked:
+                if spec:
+                    fn = self._get_jit("dec_prefill_shared", shapes, mn_pad)
+                    tok, cache = fn(pp, *args)
+                    Lp = args[0].shape[1]
+                    hist = np.full(
+                        (B, prompt_len + mn_pad), self.tokenizer.pad_id,
+                        np.int32,
+                    )
+                    hist[:, :Lp] = np.asarray(args[0])[np.asarray(args[2])]
+                    hist[:, Lp:prompt_len] = np.asarray(args[3])
+                    toks = self._decode_spec_chunked(
+                        pp, tok, cache, hist, B, prompt_len, n,
+                        max_new_tokens, chunk_tokens or 256, stop_strings,
+                    )
+                elif chunked:
                     fn = self._get_jit("dec_prefill_shared", shapes, max_new_tokens)
                     tok, cache = fn(pp, *args)
                     toks = self._decode_chunked(
@@ -465,6 +494,19 @@ class ScoringEngine:
                 else:
                     fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
                     toks = np.asarray(fn(pp, *args))[:n]
+            elif spec:
+                ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+                prefill = self._get_jit("dec_prefill", ids.shape, mn_pad)
+                tok, cache = prefill(pp, *self._put(ids, mask))
+                L = ids.shape[1]
+                hist = np.full(
+                    (B, L + mn_pad), self.tokenizer.pad_id, np.int32
+                )
+                hist[:, :L] = ids
+                toks = self._decode_spec_chunked(
+                    pp, tok, cache, hist, B, L, n,
+                    max_new_tokens, chunk_tokens or 256, stop_strings,
+                )
             elif chunked:
                 ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
                 prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
@@ -495,7 +537,13 @@ class ScoringEngine:
                 ntokens[off + i] = ntok
                 if stats is not None:
                     stats.completion_tokens += ntok
-                text = self.tokenizer.decode(row_l, skip_special_tokens=True)
+                # Decode only the counted completion: tokens past EOS are
+                # junk the device may emit when the tokenizer's EOS is not
+                # the model config's (it keeps decoding until ITS eos or a
+                # host stop-check, whose granularity varies by path).
+                text = self.tokenizer.decode(
+                    row_l[:ntok], skip_special_tokens=True
+                )
                 for s in stop_strings:
                     cut = text.find(s)
                     if cut != -1:
@@ -561,6 +609,71 @@ class ScoringEngine:
                 constant_values=self.tokenizer.pad_id,
             )
         return out[:n]
+
+    def _decode_spec_chunked(
+        self,
+        pp,
+        tok,
+        cache,
+        hist: np.ndarray,  # [B, T] token layout matching the cache
+        B: int,
+        prompt_len: int,
+        n: int,
+        max_new_tokens: int,
+        chunk_tokens: int,
+        stop_strings: Sequence[str],
+    ) -> np.ndarray:
+        """Prompt-lookup speculative decoding loop: fixed-size chunks of
+        verify rounds on device, host stop-string checks between chunks.
+        Emits the SAME tokens as `_decode_chunked` (greedy acceptance);
+        rounds yield 1..K+1 tokens each, so rows advance unevenly and the
+        host stitches per-row variable-length round outputs."""
+        K = self.spec_lookup
+        S = K + 1
+        rounds = max(1, chunk_tokens // S)
+        fn = self._get_jit(
+            "dec_spec_chunk", B, prompt_len, max_new_tokens, rounds, K
+        )
+        wp = jnp.full((B,), prompt_len, jnp.int32)
+        done = jnp.zeros((B,), bool)
+        hist_d = jax.device_put(jnp.asarray(hist), self._data_sharding)
+        rows_out: List[List[int]] = [[] for _ in range(B)]
+        eos = self.tokenizer.eos_id
+        while True:
+            outs, counts, (tok, cache, hist_d, wp, done_dev) = fn(
+                pp, tok, cache, hist_d, wp, done
+            )
+            outs_h = np.asarray(outs)
+            counts_h = np.asarray(counts)
+            for b in range(n):
+                for r in range(rounds):
+                    cnt = int(counts_h[b, r])
+                    if cnt:
+                        rows_out[b].extend(outs_h[b, r, :cnt].tolist())
+            self.spec_stats["tokens"] += int(counts_h[:n].sum())
+            self.spec_stats["rounds"] += int((counts_h[:n] > 0).sum())
+            done_h = np.asarray(done_dev)
+            newly = list(done_h)
+            for i in range(n):
+                if newly[i]:
+                    continue
+                row = rows_out[i]
+                if len(row) >= max_new_tokens or eos in row:
+                    newly[i] = True
+                    continue
+                text = self.tokenizer.decode(row, skip_special_tokens=True)
+                if any(s in text for s in stop_strings):
+                    newly[i] = True
+            for i in range(n, B):
+                newly[i] = True
+            if all(newly):
+                break
+            done = jnp.asarray(np.asarray(newly, bool))
+        out = np.full((n, max_new_tokens), self.tokenizer.pad_id, np.int32)
+        for i in range(n):
+            row = rows_out[i][:max_new_tokens]
+            out[i, : len(row)] = row
+        return out
 
     # ------------------------------------------------------------------
     # jit builders
@@ -703,4 +816,14 @@ class ScoringEngine:
                 return out, tok2, cache2, done2
 
             return jax.jit(fn, donate_argnums=(2,))
+        if name == "dec_spec_chunk":
+            _, prompt_len, max_new, rounds, K = key
+
+            def fn(params, tok, cache, hist, wp, done):
+                return gen_mod.decoder_spec_decode_chunk(
+                    params, cfg, tok, cache, hist, wp, prompt_len,
+                    max_new, rounds, K, cfg.eos_token_id, done=done,
+                )
+
+            return jax.jit(fn, donate_argnums=(2, 3))
         raise KeyError(name)

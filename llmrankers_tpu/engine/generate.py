@@ -545,3 +545,262 @@ def decoder_decode_chunk(
         step, init, jnp.arange(steps)
     )
     return outs.T, (tok, (kc, vc, kmask, pos), done)  # [B, steps], state
+
+
+# ---------------------------------------------------------------------------
+# Prompt-lookup speculative decoding (vLLM ngram-speculation equivalent)
+# ---------------------------------------------------------------------------
+def _row_append(buf: jax.Array, blk: jax.Array, starts: jax.Array,
+                axis: int) -> jax.Array:
+    """Per-row dynamic append: write ``blk``'s slice into ``buf`` at each
+    row's own start index along ``axis`` (rows live on axis 0 of the
+    vmap; for caches that is physical axis 1)."""
+    ndim = buf.ndim - 1  # per-row rank
+
+    def one(b, x, s):
+        starts_ = tuple(s if d == axis else 0 for d in range(ndim))
+        return jax.lax.dynamic_update_slice(b, x, starts_)
+
+    if buf.ndim == 2:  # [B, T] host-style buffers (hist, key_mask)
+        return jax.vmap(one, in_axes=(0, 0, 0))(buf, blk, starts)
+    # caches [Ld, B, KV, T, Dh]: rows on axis 1
+    return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, blk, starts)
+
+
+def decoder_spec_decode_chunk(
+    params,
+    cfg: DecoderConfig,
+    first_token: jax.Array,  # [B] pending token (greedy, not yet consumed)
+    cache,
+    hist: jax.Array,  # [B, T] token history laid out like the cache
+    wp: jax.Array,  # [B] per-row physical append position in the cache
+    prompt_len: int,
+    max_new_tokens: int,  # per-row generation budget (freeze past it)
+    rounds: int,
+    K: int,  # draft length per round
+    eos_id: int,
+    done: Optional[jax.Array] = None,
+):
+    """``rounds`` rounds of prompt-lookup speculative decoding.
+
+    Each round drafts K tokens by bigram lookup in the row's own token
+    history (prompt + generated — the TPU-native equivalent of vLLM's
+    ngram speculative decoding; Rank-R1 reasoning completions quote
+    passage text heavily, reference setwise.py:445-446), then verifies
+    the pending token plus all K drafts in ONE (K+1)-token forward
+    against the read-only KV cache. Greedy acceptance keeps outputs
+    IDENTICAL to the step-by-step scan at any accept rate: every emitted
+    token is the model's own argmax — drafts only decide how many argmax
+    positions one forward yields (1 to K+1).
+
+    Per-row bookkeeping (rows accept different counts): ``wp`` is each
+    row's cache append position; blocks are written with per-row
+    dynamic_update_slice and only the consumed prefix is marked valid in
+    key_mask. Rejected garbage beyond it is overwritten by the next
+    round's block (same size), so the cache needs 2*(K+1) slack past
+    ``prompt_len + max_new_tokens`` (the engine allocates it).
+
+    Returns (tokens [B, rounds, K+1], counts [B, rounds],
+    (next_token, cache, hist, wp, done)).
+    """
+    k_cache, v_cache, key_mask, next_pos = cache
+    B = first_token.shape[0]
+    S = K + 1
+    H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    G = H // KV
+    T = (k_cache[0] if cfg.kv_quant else k_cache).shape[3]
+    dtype = params["embed"].dtype
+    pad_id = cfg.pad_token_id
+    L = prompt_len
+    if done is None:
+        done = jnp.zeros((B,), bool)
+    pos_idx = jnp.arange(T)
+    idxS = jnp.arange(S)[None, :]
+    # Strictly-below-diagonal in-block mask; the diagonal (each token's
+    # self-attention) is a separate unquantized term so kv_quant numerics
+    # match the step-by-step scan exactly (there, predecessors are read
+    # back quantized from the cache but the current token never is).
+    tri = jnp.arange(S)[:, None] > jnp.arange(S)[None, :]
+
+    def round_fn(carry, _):
+        tok, kc, vc, kmask, pos, hist, wp, done = carry
+        # Freeze rows that are eos-done OR past their token budget (other
+        # rows in the batch may still be live).
+        frozen = jnp.logical_or(done, wp - L >= max_new_tokens)
+
+        # --- draft: last bigram match in the valid history -------------
+        p_prev = jnp.max(jnp.where(kmask, pos_idx[None, :], -1), axis=1)
+        prev = jnp.take_along_axis(
+            hist, jnp.maximum(p_prev, 0)[:, None], axis=1
+        )[:, 0]
+        prev = jnp.where(p_prev >= 0, prev, -1)
+        hist_m1 = jnp.concatenate(
+            [jnp.full((B, 1), -1, hist.dtype), hist[:, :-1]], axis=1
+        )
+        kmask_m1 = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), kmask[:, :-1]], axis=1
+        )
+        # Exclude the final valid position: a match there is the current
+        # context itself, whose continuation hasn't been generated yet
+        # (drafts would all be invalid — the repeating-token case).
+        match = (
+            (hist == tok[:, None]) & (hist_m1 == prev[:, None])
+            & kmask & kmask_m1 & (pos_idx[None, :] < p_prev[:, None])
+        )
+        p_best = jnp.max(jnp.where(match, pos_idx[None, :], -1), axis=1)
+        didx = jnp.minimum(
+            p_best[:, None] + 1 + jnp.arange(K)[None, :], T - 1
+        )
+        drafts = jnp.take_along_axis(hist, didx, axis=1)
+        dvalid = (
+            jnp.take_along_axis(kmask, didx, axis=1) & (p_best >= 0)[:, None]
+        )
+        # Invalid drafts become pad — correctness never depends on draft
+        # content (a wrong draft is simply rejected by verification).
+        drafts = jnp.where(dvalid, drafts, pad_id).astype(tok.dtype)
+        bt = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B, S]
+
+        # --- verify: one S-token forward against the read-only cache ---
+        x = params["embed"][bt]  # [B, S, D]
+        poss = pos[:, None] + jnp.arange(S)[None, :]
+        cos, sin = rope_cos_sin(poss, Dh, cfg.rope_theta, dtype=x.dtype)
+
+        def layer(h, xs):
+            lp, kcl, vcl = xs
+            hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+            q = hn @ wmat(lp, "wq")
+            k = hn @ wmat(lp, "wk")
+            v = hn @ wmat(lp, "wv")
+            if cfg.attention_bias:
+                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+            q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+            k = k.reshape(B, S, KV, Dh).transpose(0, 2, 1, 3)
+            v = v.reshape(B, S, KV, Dh).transpose(0, 2, 1, 3)
+            if cfg.qk_norm:
+                q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            qg = q.reshape(B, KV, G, S, Dh)
+            if cfg.kv_quant:
+                k8l, ksl = kcl
+                v8l, vsl = vcl
+                s_c = jnp.einsum(
+                    "bkgsd,bktd->bkgst", qg, k8l.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) * ksl[..., 0][:, :, None, None, :]
+            else:
+                v8l, vsl = vcl, None
+                s_c = jnp.einsum(
+                    "bkgsd,bktd->bkgst", qg, kcl,
+                    preferred_element_type=jnp.float32,
+                )
+            s_c = s_c * (Dh**-0.5)
+            s_c = jnp.where(kmask[:, None, None, None, :], s_c, NEG_INF)
+            # In-block attention on earlier block positions. Under
+            # kv_quant they go through the SAME int8 fold as the cache
+            # (the scan would have appended them a step earlier).
+            if cfg.kv_quant:
+                k8b, ksb = _kv_quant(k)
+                v8b, vsb = _kv_quant(v)
+                s_b = jnp.einsum(
+                    "bkgsd,bkud->bkgsu", qg, k8b.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) * ksb[..., 0][:, :, None, None, :]
+                vb, vsb_col = v8b.astype(dtype), vsb[..., 0][:, :, None, None, :]
+            else:
+                s_b = jnp.einsum(
+                    "bkgsd,bkud->bkgsu", qg, k,
+                    preferred_element_type=jnp.float32,
+                )
+                vb, vsb_col = v, None
+            s_b = s_b * (Dh**-0.5)
+            s_b = jnp.where(tri[None, None, None], s_b, NEG_INF)
+            # Each token's own K/V, always unquantized (the scan's rank-1
+            # online-softmax self term).
+            s_self = jnp.einsum(
+                "bkgsd,bksd->bkgs", qg, k, preferred_element_type=jnp.float32
+            ) * (Dh**-0.5)
+            m = jnp.maximum(
+                jnp.maximum(jnp.max(s_c, axis=-1), jnp.max(s_b, axis=-1)),
+                s_self,
+            )
+            p_c = jnp.exp(s_c - m[..., None])
+            p_b = jnp.exp(s_b - m[..., None])
+            p_self = jnp.exp(s_self - m)
+            z = p_c.sum(axis=-1) + p_b.sum(axis=-1) + p_self
+            if vsl is not None:
+                p_c = p_c * vsl[..., 0][:, :, None, None, :]
+                v8l = v8l.astype(dtype)
+            if vsb_col is not None:
+                p_b = p_b * vsb_col
+            a = (
+                jnp.einsum(
+                    "bkgst,bktd->bkgsd", p_c.astype(dtype), v8l,
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.einsum(
+                    "bkgsu,bkud->bkgsd", p_b.astype(dtype), vb,
+                    preferred_element_type=jnp.float32,
+                )
+                + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :, :]
+            ) / z[..., None]
+            a = (
+                a.astype(dtype)
+                .reshape(B, H, S, Dh)
+                .transpose(0, 2, 1, 3)
+                .reshape(B, S, H * Dh)
+            )
+            h = h + a @ wmat(lp, "wo")
+            hn2 = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+            f = (jax.nn.silu(hn2 @ wmat(lp, "w_gate"))
+                 * (hn2 @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
+            return h + f, (k, v)
+
+        h, (k_new, v_new) = jax.lax.scan(layer, x, (params["layers"], kc, vc))
+        h = rms_norm(h, params["final_ln"], cfg.rms_norm_eps)
+        logits = dec_mod.lm_logits(params, cfg, h)  # [B, S, V]
+        nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)  # [B, S]
+
+        # --- greedy acceptance -----------------------------------------
+        flags = jnp.cumprod(
+            (bt[:, 1:] == nxt[:, :-1]).astype(jnp.int32), axis=1
+        )  # [B, K]
+        acc = flags.sum(axis=1)
+        cand = idxS <= acc[:, None]  # consumed candidates 0..acc
+        is_eos = (bt == eos_id) & cand
+        any_eos = is_eos.any(axis=1) & ~frozen
+        first_eos = jnp.argmax(is_eos, axis=1)
+        c = jnp.where(any_eos, first_eos + 1, acc + 1)
+        c = jnp.where(frozen, 0, c)
+        out_r = jnp.where(idxS < c[:, None], bt, pad_id)
+        bonus = jnp.take_along_axis(
+            nxt, jnp.maximum(c - 1, 0)[:, None], axis=1
+        )[:, 0]
+        tok2 = jnp.where(frozen, tok, jnp.where(any_eos, eos_id, bonus))
+        done2 = jnp.logical_or(done, any_eos)
+
+        # --- append block to cache/history at per-row positions --------
+        if cfg.kv_quant:
+            k8, ks = _kv_quant(k_new)
+            v8, vs = _kv_quant(v_new)
+            kc = (_row_append(kc[0], k8, wp, 2),
+                  _row_append(kc[1], ks, wp, 2))
+            vc = (_row_append(vc[0], v8, wp, 2),
+                  _row_append(vc[1], vs, wp, 2))
+        else:
+            kc = _row_append(kc, k_new, wp, 2)
+            vc = _row_append(vc, v_new, wp, 2)
+        hist2 = _row_append(hist, bt, wp, 0)
+        kmask2 = _row_append(kmask, idxS < c[:, None], wp, 0)
+        return (tok2, kc, vc, kmask2, pos + c, hist2, wp + c, done2), (out_r, c)
+
+    init = (first_token, k_cache, v_cache, key_mask, next_pos, hist, wp, done)
+    (tok, kc, vc, kmask, pos, hist, wp, done), (outs, counts) = jax.lax.scan(
+        round_fn, init, jnp.arange(rounds)
+    )
+    return (
+        outs.transpose(1, 0, 2),  # [B, rounds, S]
+        counts.T,  # [B, rounds]
+        (tok, (kc, vc, kmask, pos), hist, wp, done),
+    )
