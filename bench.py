@@ -256,6 +256,55 @@ def rankr1_decode(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128,
     }
 
 
+def rankr1_spec(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128, K=8):
+    """Prompt-lookup speculative decoding, full-accept regime.
+
+    Zero weights make the argmax stream constant, so after warm-up every
+    verify round accepts all K drafts — the upper bound of the technique
+    (one (K+1)-token forward per K+1 emitted tokens instead of K+1
+    sequential steps). Real accept rates depend on how much the
+    completion quotes the prompt; the reported accept ratio
+    (tokens/round) makes the regime explicit. Outputs are identical to
+    plain greedy by construction (tests/test_spec.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
+    from llmrankers_tpu.models import decoder as dec_mod
+    from llmrankers_tpu.models.config import DecoderConfig
+
+    cfg = DecoderConfig.qwen25_3b()
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda x: x * 0.0, params)
+    tok = ByteTokenizer(cfg.vocab_size)
+
+    rng = np.random.RandomState(929)
+    pre = rng.randint(2, 30000, n_prefix).tolist()
+    rows = [pre + rng.randint(2, 30000, n_suffix).tolist() for _ in range(batch)]
+
+    out = {"model": "qwen2.5-3b-shape", "batch": batch, "draft_k": K}
+    for label, kw in (("plain", {}), ("spec", {"spec_lookup": K})):
+        eng = ScoringEngine("decoder", cfg, params, tok, **kw)
+        eng.generate(rows, max_new_tokens=new_tokens, chunk_tokens=64)
+        t0 = time.perf_counter()
+        eng.generate(rows, max_new_tokens=new_tokens, chunk_tokens=64)
+        wall = time.perf_counter() - t0
+        # The constant stream is the pad token, which ntoks strips — both
+        # paths decode the full budget, so count batch * new_tokens.
+        out[f"{label}_decode_tok_per_sec"] = round(
+            batch * new_tokens / wall, 1
+        )
+        if kw:
+            st = eng.spec_stats
+            out["accept_tokens_per_round"] = round(
+                st["tokens"] / max(1, st["rounds"]), 2
+            )
+    out["speedup"] = round(
+        out["spec_decode_tok_per_sec"] / out["plain_decode_tok_per_sec"], 2
+    )
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp  # noqa: F401
@@ -286,6 +335,7 @@ def main():
         detail["rankr1_int8_kv8_b32"] = rankr1_decode(
             batch=32, quantize="int8", kv_quantize="int8"
         )
+        detail["rankr1_spec"] = rankr1_spec()
     xl = None
     if "xl" in sections:
         xl = t5_throughput(
