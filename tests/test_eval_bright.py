@@ -67,3 +67,46 @@ def test_bright_filter_excluded():
     out = bright.filter_excluded(groups, {"q1": ["b"]})
     assert out == [("q1", [("a", 1.0), ("c", 0.8)])]
     assert bright.filter_excluded(groups, {}) == groups
+
+
+def test_bright_filter_cli(tmp_path):
+    """filter subcommand: drops excluded docids, renumbers ranks, keeps
+    scores verbatim (filter_run.py:20-31 semantics)."""
+    import json
+    import subprocess
+    import sys
+
+    run = tmp_path / "run.txt"
+    run.write_text(
+        "q1 Q0 d1 1 9.5 X\nq1 Q0 d2 2 8.0 X\nq1 Q0 d3 3 7.0 X\n"
+        "q2 Q0 d4 1 5.0 X\n"
+    )
+    excl = tmp_path / "excl.json"
+    excl.write_text(json.dumps({"q1": ["d2"]}))
+    out = tmp_path / "run.filtered.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "llmrankers_tpu.cli.bright", "filter",
+         "--run_path", str(run), "--excluded_path", str(excl),
+         "--save_path", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().splitlines()
+    assert lines == [
+        "q1 Q0 d1 1 9.5 filtered",
+        "q1 Q0 d3 2 7.0 filtered",
+        "q2 Q0 d4 1 5.0 filtered",
+    ]
+    assert "kept 3/4" in r.stderr
+
+
+def test_bright_filter_cli_arg_validation(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "llmrankers_tpu.cli.bright", "filter",
+         "--run_path", "x", "--save_path", "y"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0 and "exactly one" in r.stderr
