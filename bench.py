@@ -285,14 +285,18 @@ def rankr1_spec(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128, K=8):
     out = {"model": "qwen2.5-3b-shape", "batch": batch, "draft_k": K}
     for label, kw in (("plain", {}), ("spec", {"spec_lookup": K})):
         eng = ScoringEngine("decoder", cfg, params, tok, **kw)
-        eng.generate(rows, max_new_tokens=new_tokens, chunk_tokens=64)
-        t0 = time.perf_counter()
-        eng.generate(rows, max_new_tokens=new_tokens, chunk_tokens=64)
-        wall = time.perf_counter() - t0
-        # The constant stream is the pad token, which ntoks strips — both
-        # paths decode the full budget, so count batch * new_tokens.
+        # Isolate decode by differencing two budgets (generate() walls
+        # include the shared prefill). The constant stream is the pad
+        # token, which ntoks strips — both paths decode the full budget,
+        # so count batch * Δbudget.
+        walls = []
+        for mnew in (new_tokens, 3 * new_tokens):
+            eng.generate(rows, max_new_tokens=mnew, chunk_tokens=64)
+            t0 = time.perf_counter()
+            eng.generate(rows, max_new_tokens=mnew, chunk_tokens=64)
+            walls.append(time.perf_counter() - t0)
         out[f"{label}_decode_tok_per_sec"] = round(
-            batch * new_tokens / wall, 1
+            batch * 2 * new_tokens / (walls[1] - walls[0]), 1
         )
         if kw:
             st = eng.spec_stats

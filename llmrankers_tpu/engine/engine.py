@@ -20,6 +20,7 @@ compiles once; the jit cache is keyed on bucket shape. Batches ride a
 from __future__ import annotations
 
 import functools
+import sys
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -42,10 +43,16 @@ DEFAULT_BATCH_BUCKETS = (8, 32, 64, 128, 256, 512)
 
 
 def _bucket(n: int, ladder: Sequence[int]) -> int:
+    """Smallest ladder entry >= n. Beyond the ladder top, round UP to the
+    next multiple of 512 instead of clamping — clamping would silently
+    truncate rows (a Rank-R1 num_child=19 prompt is ~11k tokens, past the
+    default 4096 top; vLLM runs it with max_model_len=10000,
+    run_setwise.py:117). Each new size costs one compile, as any bucket
+    does; the engine caps rows at the model context elsewhere."""
     for b in ladder:
         if n <= b:
             return b
-    return ladder[-1]
+    return -(-n // 512) * 512
 
 
 @dataclass
@@ -133,6 +140,7 @@ class ScoringEngine:
             and os.environ.get("LLMRANKERS_NO_PREFIX_SHARE") != "1"
         )
         self._jit_cache: Dict[Any, Any] = {}
+        self._warned_ctx = False
 
         if kind == "t5":
             pspecs = mesh_mod.t5_param_pspecs(params)
@@ -224,6 +232,20 @@ class ScoringEngine:
         n = len(rows)
         max_len = max((len(r) for r in rows), default=1)
         L = _bucket(max_len, self.len_buckets)
+        # Hard context cap (decoder models): beyond it RoPE positions are
+        # out of the trained range, so rows are truncated (tail kept for
+        # left padding, head for right — pack_padded's convention) with a
+        # one-time warning. T5 rel-pos buckets saturate gracefully: no cap.
+        if self.kind == "decoder":
+            cap = int(getattr(self.cfg, "max_position_embeddings", 0) or 0)
+            if cap and L > cap:
+                if not self._warned_ctx:
+                    self._warned_ctx = True
+                    print(
+                        f"warning: truncating rows of {max_len} tokens to "
+                        f"the model context ({cap})", file=sys.stderr,
+                    )
+                L = cap
         B = _bucket(n, self.batch_buckets)
         if b_cap is not None and B > b_cap:
             B = max(n, b_cap)

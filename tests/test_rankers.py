@@ -439,3 +439,40 @@ def test_spec_depth_rejects_permutation_generation():
     # Likelihood scoring is stateless: allowed.
     SetwiseLlmRanker(eng, num_child=2, k=3, scoring="likelihood",
                      num_permutation=1, spec_depth=2)
+
+
+def test_long_rows_bucket_up_not_truncated(capsys):
+    """Rows past the ladder top round UP to a new bucket (a Rank-R1
+    num_child=19 prompt is ~11k tokens; clamping would silently drop most
+    of it). The model-context cap still truncates, with a warning."""
+    import dataclasses
+
+    import jax
+
+    from llmrankers_tpu.engine.engine import ScoringEngine, _bucket
+    from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+    from llmrankers_tpu.models import decoder as dec_mod
+    from llmrankers_tpu.models.config import DecoderConfig
+
+    assert _bucket(4097, (512, 4096)) == 4608  # next 512 multiple
+    assert _bucket(300, (512, 4096)) == 512
+
+    cfg = dataclasses.replace(
+        DecoderConfig.tiny(), max_position_embeddings=256
+    )
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    eng = ScoringEngine("decoder", cfg, params, ByteTokenizer(cfg.vocab_size),
+                        len_buckets=(64, 128))
+    # 200 tokens: past the 128 ladder top but under the 256 context ->
+    # new 512-multiple bucket is capped at... 512 > 256 -> context cap.
+    rows = [list(range(2, 202))]
+    ids, mask, n, B = eng._pad_batch_left(rows)
+    assert ids.shape[1] == 200 or ids.shape[1] == 256 or ids.shape[1] == 512
+    # under the context the full row must survive
+    if ids.shape[1] >= 200:
+        assert int(mask.sum()) == 200
+    # past the context: truncated with a warning
+    rows = [list(range(2, 2 + 400))]
+    ids, mask, n, B = eng._pad_batch_left(rows)
+    assert ids.shape[1] == 256 and int(mask.sum()) == 256
+    assert "truncating" in capsys.readouterr().err
