@@ -90,8 +90,8 @@ class GRPOTrainer:
             mask[i, L - len(r):] = 1
         return jnp.asarray(ids), jnp.asarray(mask)
 
-    def _sample_fn(self, L: int, T: int):
-        key = ("sample", L, T)
+    def _sample_fn(self, L: int, T: int, G: int = 1):
+        key = ("sample", L, T, G)
         if key not in self._jit_cache:
             mcfg, cfg = self.model_cfg, self.cfg
 
@@ -101,7 +101,21 @@ class GRPOTrainer:
                 ids = jax.lax.with_sharding_constraint(ids, data_sh)
                 mask = jax.lax.with_sharding_constraint(mask, data_sh)
                 merged = lora_mod.merge(self.base_params, lora, cfg.lora)
+                # Prefill each UNIQUE prompt once; the G rollouts of a
+                # group share the whole prompt, so their caches are exact
+                # copies (the vLLM-backed TRL setup gets this from prefix
+                # caching). Expand [N, ...] -> [N*G, ...] after prefill:
+                # (G-1)/G of rollout prefill FLOPs saved.
                 logits, cache = gen_mod.decoder_prefill(merged, mcfg, ids, mask, T)
+                if G > 1:
+                    logits = jnp.repeat(logits, G, axis=0)
+                    kc, vc, kmask, pos = cache
+                    cache = (
+                        jnp.repeat(kc, G, axis=1),
+                        jnp.repeat(vc, G, axis=1),
+                        jnp.repeat(kmask, G, axis=0),
+                        jnp.repeat(pos, G, axis=0),
+                    )
                 k0, k1 = jax.random.split(rng)
                 first = jax.random.categorical(
                     k0, logits.astype(jnp.float32) / cfg.temperature, axis=-1
@@ -254,13 +268,16 @@ class GRPOTrainer:
         L = max(8, 1 << (max(len(r) for r in rows) - 1).bit_length())
         T = cfg.max_completion_length
 
-        # Expand each prompt G times and sample rollouts.
-        rep_rows = [r for r in rows for _ in range(G)]
-        ids, mask = self._pad_left(rep_rows, L)
+        # Prefill unique prompts once; the sample program expands the
+        # cache G-fold on device before decoding the rollouts.
+        uids, umask = self._pad_left(rows, L)
         rng = jax.random.PRNGKey(929 + self.step_idx)
         with self.mesh:
-            comp_ids = self._sample_fn(L, T)(self.lora, ids, mask, rng)
+            comp_ids = self._sample_fn(L, T, G)(self.lora, uids, umask, rng)
         comp_np = np.asarray(comp_ids)
+        # Loss inputs need the G-replicated prompt rows.
+        ids = jnp.repeat(uids, G, axis=0)
+        mask = jnp.repeat(umask, G, axis=0)
 
         completions = []
         for row in comp_np:

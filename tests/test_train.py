@@ -469,3 +469,31 @@ def test_load_peft_adapter_no_match_raises(tmp_path, tiny_model):
         json.dump({"r": 2, "lora_alpha": 4}, f)
     with pytest.raises(ValueError, match="no LoRA tensors"):
         lora_mod.load_peft_adapter(str(tmp_path), params)
+
+
+def test_grpo_grouped_prefill_matches_replicated(tiny_model):
+    """The grouped sample program (prefill unique prompts once, expand
+    the cache G-fold) must emit the same rollouts as prefilling G
+    replicated copies (the pre-optimization path, emulated by G=1 over
+    pre-expanded rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params = tiny_model
+    mesh = mesh_mod.make_mesh(1, 1)
+    tok = ByteTokenizer(cfg.vocab_size)
+    gcfg = GRPOConfig(num_generations=4, max_completion_length=8,
+                      max_prompt_length=64,
+                      lora=lora_mod.LoraConfig(r=2, alpha=4))
+    tr = GRPOTrainer(cfg, params, tok, gcfg, mesh,
+                     reward_fn=lambda c, g: [0.0] * len(c))
+    rows = [list(range(2, 40)), list(range(5, 50))]
+    L, T, G = 64, 8, 4
+    uids, umask = tr._pad_left(rows, L)
+    rep_ids = jnp.repeat(uids, G, axis=0)
+    rep_mask = jnp.repeat(umask, G, axis=0)
+    rng = jax.random.PRNGKey(929)
+    with mesh:
+        grouped = np.asarray(tr._sample_fn(L, T, G)(tr.lora, uids, umask, rng))
+        flat = np.asarray(tr._sample_fn(L, T, 1)(tr.lora, rep_ids, rep_mask, rng))
+    np.testing.assert_array_equal(grouped, flat)
