@@ -133,3 +133,32 @@ def test_score_labels_shared_matches_plain_on_mesh():
     b = plain.score_labels(rows, labels)
     assert ("dec_labels_shared",) in {k[:1] for k in shared._jit_cache}
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_group_falls_back_when_combined_length_exceeds_context():
+    """Prefix and suffix are padded separately, so the grouped path can't
+    see the combined prompt length; rows past max_position_embeddings
+    must take the plain path (which truncates with a warning) instead of
+    running out-of-range RoPE positions."""
+    import dataclasses
+
+    import jax
+
+    from llmrankers_tpu.engine.engine import ScoringEngine
+    from llmrankers_tpu.engine.tokenizer import ByteTokenizer
+    from llmrankers_tpu.models import decoder as dec_mod
+    from llmrankers_tpu.models.config import DecoderConfig
+
+    cfg = dataclasses.replace(
+        DecoderConfig.tiny(), max_position_embeddings=256
+    )
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
+    eng = ScoringEngine("decoder", cfg, params, ByteTokenizer(cfg.vocab_size))
+    prefix = list(range(2, 202))  # 200-token shared prefix
+    rows = [prefix + list(range(210, 330 + i)) for i in range(4)]  # ~320 total
+    assert eng._group(rows) is None  # would exceed the 256 context
+    short = [prefix[:40] + list(range(210, 260 + i)) for i in range(4)]
+    assert eng._group(short) is not None  # under the cap: still groups
+    # End-to-end: generation works (truncated to context on the plain path).
+    texts, ntoks = eng.generate(rows, max_new_tokens=4)
+    assert len(texts) == 4
