@@ -72,8 +72,9 @@ def main(argv=None) -> None:
     n_out = 0
     with open(args.save_path, "w") as f:
         for qid, docs in kept:
-            # Ranks renumber densely after the drop; scores are kept
-            # verbatim (filter_run.py:28-31).
+            # Ranks renumber densely after the drop; scores keep their
+            # numeric value (filter_run.py:28-31 — formatting goes
+            # through float repr, so trailing zeros may differ).
             for rank, (docid, score) in enumerate(docs, start=1):
                 f.write(f"{qid} Q0 {docid} {rank} {score} {args.tag}\n")
                 n_out += 1

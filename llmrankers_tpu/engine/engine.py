@@ -231,21 +231,7 @@ class ScoringEngine:
 
         n = len(rows)
         max_len = max((len(r) for r in rows), default=1)
-        L = _bucket(max_len, self.len_buckets)
-        # Hard context cap (decoder models): beyond it RoPE positions are
-        # out of the trained range, so rows are truncated (tail kept for
-        # left padding, head for right — pack_padded's convention) with a
-        # one-time warning. T5 rel-pos buckets saturate gracefully: no cap.
-        if self.kind == "decoder":
-            cap = int(getattr(self.cfg, "max_position_embeddings", 0) or 0)
-            if cap and L > cap:
-                if not self._warned_ctx:
-                    self._warned_ctx = True
-                    print(
-                        f"warning: truncating rows of {max_len} tokens to "
-                        f"the model context ({cap})", file=sys.stderr,
-                    )
-                L = cap
+        L = self._cap_len(_bucket(max_len, self.len_buckets), max_len)
         B = _bucket(n, self.batch_buckets)
         if b_cap is not None and B > b_cap:
             B = max(n, b_cap)
@@ -259,6 +245,29 @@ class ScoringEngine:
 
     def _pad_batch_left(self, rows: List[List[int]], b_cap: Optional[int] = None):
         return self._pad_batch(rows, left=True, b_cap=b_cap)
+
+    def _ctx_cap(self) -> int:
+        """Hard context cap: decoder RoPE positions past
+        max_position_embeddings are outside the trained range. T5 rel-pos
+        buckets saturate gracefully — no cap (returns 0)."""
+        if self.kind != "decoder":
+            return 0
+        return int(getattr(self.cfg, "max_position_embeddings", 0) or 0)
+
+    def _cap_len(self, L: int, max_len: int) -> int:
+        """Apply the context cap to a padded length, warning once when it
+        truncates real tokens (tail kept for left padding, head for right
+        — pack_padded's convention)."""
+        cap = self._ctx_cap()
+        if cap and L > cap:
+            if max_len > cap and not self._warned_ctx:
+                self._warned_ctx = True
+                print(
+                    f"warning: truncating rows of {max_len} tokens to "
+                    f"the model context ({cap})", file=sys.stderr,
+                )
+            L = cap
+        return L
 
     def _group(self, chunk: List[List[int]], b_cap: Optional[int] = None):
         """Shared-prefix grouping of a chunk (decoder kind only).
@@ -274,6 +283,17 @@ class ScoringEngine:
         if grp is None:
             return None
         pre_rows, gidx, suf_rows = grp
+        # Prefix and suffix are padded separately, so the plain path's
+        # context cap can't see the combined length — rows that would
+        # exceed it must take the ungrouped path, which truncates them
+        # (with the warning) instead of running out-of-range RoPE.
+        cap = self._ctx_cap()
+        if cap:
+            pre_len = {i: len(p) for i, p in enumerate(pre_rows)}
+            if any(
+                pre_len[g] + len(s) > cap for g, s in zip(gidx, suf_rows)
+            ):
+                return None
         pids, pmask, _, _ = self._pad_batch(pre_rows)
         sids, smask, n, B = self._pad_batch(suf_rows, b_cap=b_cap)
         gvec = np.zeros((B,), np.int32)
@@ -292,7 +312,7 @@ class ScoringEngine:
         if not rows:
             return
         max_len = max(len(r) for r in rows)
-        L = _bucket(max_len, self.len_buckets)
+        L = self._cap_len(_bucket(max_len, self.len_buckets), 0)
         per = max(1, self.max_batch_tokens // L)
         if row_limit is not None:
             per = max(1, min(per, row_limit))
@@ -316,7 +336,7 @@ class ScoringEngine:
         ~280MB/row. Either way the cache, not the token budget, is the
         binding constraint on big models."""
         cfg = self.cfg
-        L = _bucket(max(len(r) for r in rows), self.len_buckets)
+        L = self._cap_len(_bucket(max(len(r) for r in rows), self.len_buckets), 0)
         bpe = jnp.dtype(jnp.bfloat16).itemsize
         if self.kind == "t5":
             per_row = (
@@ -593,7 +613,6 @@ class ScoringEngine:
         done = jnp.zeros((B,), bool)
         pieces: List[np.ndarray] = []
         offset = 0
-        eos = self.tokenizer.eos_id
         while offset < max_new_tokens:
             steps = min(chunk_tokens, max_new_tokens - offset)
             if steps < chunk_tokens:
@@ -607,20 +626,10 @@ class ScoringEngine:
                 break
             # Host-side stop check on the live rows.
             acc = np.concatenate(pieces, axis=1)
-            done_h = np.asarray(done)
-            newly = list(done_h)
-            for i in range(n):
-                if done_h[i]:
-                    continue
-                row = acc[i].tolist()
-                if eos in row:
-                    newly[i] = True
-                    continue
-                text = self.tokenizer.decode(row, skip_special_tokens=True)
-                if any(s in text for s in stop_strings):
-                    newly[i] = True
-            for i in range(n, B):
-                newly[i] = True  # padding rows
+            newly = self._host_freeze(
+                np.asarray(done), lambda i: acc[i].tolist(), n, B,
+                None, stop_strings,
+            )
             if all(newly):
                 break
             done = jnp.asarray(np.asarray(newly, bool))
@@ -631,6 +640,38 @@ class ScoringEngine:
                 constant_values=self.tokenizer.pad_id,
             )
         return out[:n]
+
+    def _host_freeze(
+        self,
+        done_h: np.ndarray,
+        row_tokens,  # callable: row index -> emitted token list
+        n: int,
+        B: int,
+        max_new_tokens: Optional[int],
+        stop_strings: Sequence[str],
+    ) -> List[bool]:
+        """Between-chunk freeze decisions shared by the plain and
+        speculative decode loops: a live row freezes on tokenizer EOS, a
+        decoded stop string, or (when given) an exhausted budget; padding
+        rows are always frozen."""
+        eos = self.tokenizer.eos_id
+        newly = list(done_h)
+        for i in range(n):
+            if newly[i]:
+                continue
+            row = row_tokens(i)
+            if max_new_tokens is not None and len(row) >= max_new_tokens:
+                newly[i] = True
+                continue
+            if eos in row:
+                newly[i] = True
+                continue
+            text = self.tokenizer.decode(row, skip_special_tokens=True)
+            if any(s in text for s in stop_strings):
+                newly[i] = True
+        for i in range(n, B):
+            newly[i] = True
+        return newly
 
     def _decode_spec_chunked(
         self,
@@ -660,7 +701,6 @@ class ScoringEngine:
         done = jnp.zeros((B,), bool)
         hist_d = jax.device_put(jnp.asarray(hist), self._data_sharding)
         rows_out: List[List[int]] = [[] for _ in range(B)]
-        eos = self.tokenizer.eos_id
         while True:
             outs, counts, (tok, cache, hist_d, wp, done_dev) = fn(
                 pp, tok, cache, hist_d, wp, done
@@ -670,24 +710,20 @@ class ScoringEngine:
             for b in range(n):
                 for r in range(rounds):
                     cnt = int(counts_h[b, r])
-                    if cnt:
-                        rows_out[b].extend(outs_h[b, r, :cnt].tolist())
-            self.spec_stats["tokens"] += int(counts_h[:n].sum())
-            self.spec_stats["rounds"] += int((counts_h[:n] > 0).sum())
-            done_h = np.asarray(done_dev)
-            newly = list(done_h)
-            for i in range(n):
-                if newly[i]:
-                    continue
-                row = rows_out[i]
-                if len(row) >= max_new_tokens or eos in row:
-                    newly[i] = True
-                    continue
-                text = self.tokenizer.decode(row, skip_special_tokens=True)
-                if any(s in text for s in stop_strings):
-                    newly[i] = True
-            for i in range(n, B):
-                newly[i] = True
+                    if not cnt:
+                        continue
+                    # Accept-rate stats count only tokens that survive the
+                    # budget truncation — a budget-crossing round consumes
+                    # up to K extra tokens that are never emitted.
+                    kept = min(cnt, max(0, max_new_tokens - len(rows_out[b])))
+                    if kept:
+                        self.spec_stats["tokens"] += kept
+                        self.spec_stats["rounds"] += 1
+                    rows_out[b].extend(outs_h[b, r, :cnt].tolist())
+            newly = self._host_freeze(
+                np.asarray(done_dev), lambda i: rows_out[i], n, B,
+                max_new_tokens, stop_strings,
+            )
             if all(newly):
                 break
             done = jnp.asarray(np.asarray(newly, bool))

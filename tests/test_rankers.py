@@ -463,14 +463,11 @@ def test_long_rows_bucket_up_not_truncated(capsys):
     params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
     eng = ScoringEngine("decoder", cfg, params, ByteTokenizer(cfg.vocab_size),
                         len_buckets=(64, 128))
-    # 200 tokens: past the 128 ladder top but under the 256 context ->
-    # new 512-multiple bucket is capped at... 512 > 256 -> context cap.
+    # 200 tokens: past the 128 ladder top -> rounds up to 512, then the
+    # 256 context cap binds. The full row survives (200 < 256).
     rows = [list(range(2, 202))]
     ids, mask, n, B = eng._pad_batch_left(rows)
-    assert ids.shape[1] == 200 or ids.shape[1] == 256 or ids.shape[1] == 512
-    # under the context the full row must survive
-    if ids.shape[1] >= 200:
-        assert int(mask.sum()) == 200
+    assert ids.shape[1] == 256 and int(mask.sum()) == 200
     # past the context: truncated with a warning
     rows = [list(range(2, 2 + 400))]
     ids, mask, n, B = eng._pad_batch_left(rows)
