@@ -444,10 +444,14 @@ def main(args) -> None:
     log.close()
 
 
-if __name__ == "__main__":
+def cli_main() -> None:
     args = parse_args()
     if args.run is None:
         raise SystemExit("need the `run` section (see --help)")
     if args.run.ir_dataset_name and args.run.pyserini_index:
         raise SystemExit("--ir_dataset_name and --pyserini_index are exclusive")
     main(args)
+
+
+if __name__ == "__main__":
+    cli_main()

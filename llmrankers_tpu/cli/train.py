@@ -254,9 +254,13 @@ def main_sft(args):
                 run_eval(step + 1, lora)
 
 
-if __name__ == "__main__":
+def cli_main() -> None:
     args = build_parser().parse_args()
     if args.cmd == "grpo":
         main_grpo(args)
     else:
         main_sft(args)
+
+
+if __name__ == "__main__":
+    cli_main()
