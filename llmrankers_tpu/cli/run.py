@@ -352,7 +352,9 @@ def load_inputs(args, ranker):
 
     # -- docstore ---------------------------------------------------------
     if r.corpus_file:
-        store = ds_mod.JsonlDocstore(r.corpus_file)
+        # Large corpora (full MS MARCO / BRIGHT) switch to the native
+        # offset-indexed store automatically; small files load in memory.
+        store = ds_mod.open_jsonl_docstore(r.corpus_file)
     elif r.ir_dataset_name:
         store = ds_mod.IrDatasetsDocstore(r.ir_dataset_name)
     elif r.pyserini_index:

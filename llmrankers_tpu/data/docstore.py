@@ -54,6 +54,53 @@ class JsonlDocstore(Docstore):
         return self._m[docid]
 
 
+class IndexedJsonlDocstore(Docstore):
+    """Offset-indexed JSONL store for corpora too large to hold in
+    memory (full MS MARCO / BRIGHT stackoverflow; the reference delegates
+    these to Lucene, run.py:169-173). One native single-pass scan
+    (hostops.cpp::jsonl_scan, regex fallback) builds docid -> (byte
+    offset, length); texts parse lazily on access. Memory: the id map
+    only (~100B/doc instead of the full text)."""
+
+    def __init__(self, path: str):
+        from ..utils import native
+
+        ids, offs, lens = native.jsonl_scan(path)
+        self._index: Dict[str, Tuple[int, int]] = {
+            i: (int(o), int(l)) for i, o, l in zip(ids, offs, lens)
+        }
+        self._path = path
+        self._f = open(path, "rb")
+        import threading
+
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def get_text(self, docid: str) -> str:
+        off, ln = self._index[docid]
+        with self._lock:
+            self._f.seek(off)
+            raw = self._f.read(ln)
+        d = json.loads(raw)
+        text = d.get("text") or d.get("contents") or ""
+        if d.get("title"):
+            text = f"{d['title']} {text}"
+        return text
+
+
+def open_jsonl_docstore(
+    path: str, lazy: Optional[bool] = None,
+    size_threshold: int = 256 * 1024 * 1024,
+) -> Docstore:
+    """JSONL docstore with automatic in-memory vs offset-indexed choice:
+    files past ``size_threshold`` (or lazy=True) use the indexed store."""
+    if lazy is None:
+        lazy = os.path.getsize(path) > size_threshold
+    return IndexedJsonlDocstore(path) if lazy else JsonlDocstore(path)
+
+
 class IrDatasetsDocstore(Docstore):
     """ir_datasets-backed store (run.py:165-168); optional dependency."""
 

@@ -61,6 +61,13 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i64p, i32p, f64p,
     ]
     lib.trec_parse.restype = ctypes.c_int64
+    lib.jsonl_count.argtypes = [ctypes.c_char_p]
+    lib.jsonl_count.restype = ctypes.c_int64
+    lib.jsonl_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, i64p, i64p,
+        ctypes.c_char_p, ctypes.c_int64, i64p,
+    ]
+    lib.jsonl_scan.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -143,3 +150,75 @@ def trec_parse(path: str):
         raw[o : raw.index(b"\0", o)].decode() for o in docid_off[:got]
     ]
     return qids, docids, ranks[:got], scores[:got]
+
+
+_ID_RE = None  # compiled lazily for the pure-Python fallback
+
+
+def jsonl_scan(path: str):
+    """Offset-index a JSONL corpus: returns (ids, line_off, line_len)
+    where ids[i] is the document id of the non-empty line at byte range
+    [line_off[i], line_off[i]+line_len[i]). The id is the value of the
+    first key among "id"/"docid"/"_id" (JsonlDocstore's preference
+    order), located without a full JSON parse. Native single-pass scan;
+    regex fallback when the library is unavailable."""
+    lib = _load()
+    if lib is not None:
+        n = lib.jsonl_count(path.encode())
+        if n < 0:
+            raise FileNotFoundError(path)
+        if n == 0:
+            return [], np.zeros(0, np.int64), np.zeros(0, np.int64)
+        line_off = np.empty(n, np.int64)
+        line_len = np.empty(n, np.int64)
+        id_off = np.empty(n, np.int64)
+        cap = 64 * n + 64
+        while True:
+            idbuf = ctypes.create_string_buffer(cap)
+            got = lib.jsonl_scan(
+                path.encode(), n, _as_i64p(line_off), _as_i64p(line_len),
+                idbuf, cap, _as_i64p(id_off),
+            )
+            if got == -2:  # ids longer than budgeted: grow and retry
+                cap *= 4
+                continue
+            break
+        if got == -3:
+            raise ValueError(f"{path}: row without an id/docid/_id key")
+        if got < 0:
+            raise RuntimeError(f"jsonl_scan failed with {got}")
+        raw = idbuf.raw
+        ids = [raw[o: raw.index(b"\0", o)].decode() for o in id_off[:got]]
+        return ids, line_off[:got], line_len[:got]
+    # pure-Python fallback: regex id extraction, no json parse per line
+    import re
+
+    global _ID_RE
+    if _ID_RE is None:
+        _ID_RE = re.compile(
+            rb'[{,\s]"(?:id|docid|_id)"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+)'
+        )
+    ids: List[str] = []
+    offs: List[int] = []
+    lens: List[int] = []
+    off = 0
+    with open(path, "rb") as f:
+        for line in f:
+            if line.strip():
+                m = _ID_RE.search(line)
+                if not m:
+                    raise ValueError(
+                        f"{path}: row without an id/docid/_id key"
+                    )
+                val = m.group(1)
+                # Quoted ids keep their raw inner span (no unescaping),
+                # matching the native scanner; ids containing JSON
+                # escapes are not supported by the offset index.
+                if val.startswith(b'"'):
+                    ids.append(val[1:-1].decode())
+                else:
+                    ids.append(val.decode())
+                offs.append(off)
+                lens.append(len(line))
+            off += len(line)
+    return ids, np.asarray(offs, np.int64), np.asarray(lens, np.int64)

@@ -128,4 +128,105 @@ int64_t trec_parse(const char* path, int64_t max_rows,
   return row;
 }
 
+// Pass 1: count non-empty lines in a JSONL file.
+int64_t jsonl_count(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int64_t count = 0;
+  char* line = nullptr;
+  size_t cap = 0;
+  ssize_t nread;
+  while ((nread = getline(&line, &cap, f)) != -1) {
+    for (ssize_t i = 0; i < nread; ++i) {
+      char c = line[i];
+      if (c != ' ' && c != '\t' && c != '\r' && c != '\n') { ++count; break; }
+    }
+  }
+  free(line);
+  fclose(f);
+  return count;
+}
+
+// Locate the value of key `"<key>"` in a JSON line without a full parse.
+// Returns the id span [out_start, out_start+out_len) inside the line, or
+// 0 when absent. The char before the opening quote must be '{', ',' or
+// whitespace so e.g. "corpus_id" never matches key "id".
+static int find_json_id(const char* line, int64_t len, const char* key,
+                        int64_t* out_start, int64_t* out_len) {
+  int64_t klen = (int64_t)strlen(key);
+  for (int64_t i = 0; i + klen + 2 < len; ++i) {
+    if (line[i] != '"') continue;
+    if (i > 0) {
+      char prev = line[i - 1];
+      if (prev != '{' && prev != ',' && prev != ' ' && prev != '\t') continue;
+    }
+    if (strncmp(line + i + 1, key, (size_t)klen) != 0) continue;
+    if (line[i + 1 + klen] != '"') continue;
+    int64_t p = i + klen + 2;
+    while (p < len && (line[p] == ' ' || line[p] == '\t')) ++p;
+    if (p >= len || line[p] != ':') continue;
+    ++p;
+    while (p < len && (line[p] == ' ' || line[p] == '\t')) ++p;
+    if (p >= len) return 0;
+    if (line[p] == '"') {  // quoted id (skip escaped quotes)
+      int64_t s = ++p;
+      while (p < len && line[p] != '"') p += (line[p] == '\\') ? 2 : 1;
+      if (p > len) return 0;
+      *out_start = s;
+      *out_len = p - s;
+      return 1;
+    }
+    int64_t s = p;  // numeric id
+    while (p < len && (line[p] == '-' || (line[p] >= '0' && line[p] <= '9')))
+      ++p;
+    if (p == s) return 0;
+    *out_start = s;
+    *out_len = p - s;
+    return 1;
+  }
+  return 0;
+}
+
+// Pass 2: per non-empty line record (byte offset, byte length) and the
+// document id — the first key among "id", "docid", "_id" (the
+// JsonlDocstore preference order) — located WITHOUT a JSON parse. ids are
+// written NUL-separated into idbuf; id_off indexes their starts.
+// Returns rows, -1 on IO error, -2 idbuf too small, -3 id missing.
+int64_t jsonl_scan(const char* path, int64_t max_rows,
+                   int64_t* line_off, int64_t* line_len,
+                   char* idbuf, int64_t idbuf_cap, int64_t* id_off) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char* line = nullptr;
+  size_t cap = 0;
+  ssize_t nread;
+  int64_t row = 0, off = 0, pos = 0;
+  static const char* kKeys[] = {"id", "docid", "_id"};
+  while (row < max_rows && (nread = getline(&line, &cap, f)) != -1) {
+    int blank = 1;
+    for (ssize_t i = 0; i < nread; ++i) {
+      char c = line[i];
+      if (c != ' ' && c != '\t' && c != '\r' && c != '\n') { blank = 0; break; }
+    }
+    if (!blank) {
+      int64_t s = 0, l = 0, found = 0;
+      for (int k = 0; k < 3 && !found; ++k)
+        found = find_json_id(line, nread, kKeys[k], &s, &l);
+      if (!found) { free(line); fclose(f); return -3; }
+      if (pos + l + 1 > idbuf_cap) { free(line); fclose(f); return -2; }
+      line_off[row] = off;
+      line_len[row] = (int64_t)nread;
+      id_off[row] = pos;
+      memcpy(idbuf + pos, line + s, (size_t)l);
+      idbuf[pos + l] = '\0';
+      pos += l + 1;
+      ++row;
+    }
+    off += (int64_t)nread;
+  }
+  free(line);
+  fclose(f);
+  return row;
+}
+
 }  // extern "C"

@@ -91,3 +91,66 @@ def test_byte_encode_batch_matches_tokenizer():
         got = [int(x) for x, m in zip(ids[i], mask[i]) if m]
         assert got == want, (t, got, want)
     assert mask[4].sum() == 0  # padding row
+
+
+def test_jsonl_scan_native_and_fallback(tmp_path):
+    """Offset index: ids + byte ranges from the native scanner must match
+    the regex fallback, across id key variants / numeric ids / blank
+    lines / a corpus_id decoy key / long lines."""
+    import json
+
+    from llmrankers_tpu.utils import native
+
+    rows = [
+        {"id": "d1", "title": "T", "text": "alpha"},
+        {"docid": "d2", "text": "beta " * 5000},  # >16KB line
+        {"_id": "d3", "contents": "gamma"},
+        {"corpus_id": "decoy", "id": 42, "text": "numeric id"},
+        {"text": "id last", "id": "d5"},
+    ]
+    p = tmp_path / "c.jsonl"
+    with open(p, "w") as f:
+        f.write("\n")  # leading blank line
+        for r in rows:
+            f.write(json.dumps(r) + "\n\n")
+
+    def fallback(path):
+        lib, native._lib, native._tried = native._lib, None, True
+        try:
+            return native.jsonl_scan(path)
+        finally:
+            native._lib, native._tried = lib, lib is not None
+
+    ids_f, off_f, len_f = fallback(str(p))
+    assert ids_f == ["d1", "d2", "d3", "42", "d5"]
+    # byte ranges parse back to the right row
+    with open(p, "rb") as f:
+        for i, r in enumerate(rows):
+            f.seek(off_f[i])
+            assert json.loads(f.read(len_f[i])) == r
+    if native.available():
+        ids_n, off_n, len_n = native.jsonl_scan(str(p))
+        assert ids_n == ids_f
+        assert list(off_n) == list(off_f) and list(len_n) == list(len_f)
+
+
+def test_indexed_jsonl_docstore(tmp_path):
+    import json
+
+    from llmrankers_tpu.data import docstore as ds_mod
+
+    p = tmp_path / "c.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": "a", "title": "Ti", "text": "body"}) + "\n")
+        f.write(json.dumps({"docid": "b", "contents": "other"}) + "\n")
+    lazy = ds_mod.IndexedJsonlDocstore(str(p))
+    mem = ds_mod.JsonlDocstore(str(p))
+    for d in ("a", "b"):
+        assert lazy.get_text(d) == mem.get_text(d)
+    assert len(lazy) == 2
+    # auto selection: tiny file -> in-memory; lazy=True forces the index
+    assert isinstance(ds_mod.open_jsonl_docstore(str(p)), ds_mod.JsonlDocstore)
+    assert isinstance(
+        ds_mod.open_jsonl_docstore(str(p), lazy=True),
+        ds_mod.IndexedJsonlDocstore,
+    )
