@@ -41,6 +41,18 @@ def build_parsers():
     run_p.add_argument("--tokenizer_name_or_path", type=str, default=None)
     run_p.add_argument("--ir_dataset_name", type=str, default=None)
     run_p.add_argument("--pyserini_index", type=str, default=None)
+    run_p.add_argument("--pyserini_dataset", type=str, default=None,
+                       help="pyserini topics name for queries, e.g. "
+                            "dl19-passage (run_setwise.py:262-263; "
+                            "--pyserini_index alone appends '-test')")
+    run_p.add_argument("--lora_path_or_name", type=str, default=None,
+                       help="PEFT adapter dir merged into the model "
+                            "(run_setwise.py:341; also accepted as "
+                            "setwise --lora_name_or_path)")
+    run_p.add_argument("--prompt_file", type=str, default=None,
+                       help="TOML prompt pack (run-section placement "
+                            "matches run_setwise.py:336; equivalent to "
+                            "the method-section --prompt_file)")
     run_p.add_argument("--query_file", type=str, default=None,
                        help=".tsv or .jsonl query file (run_setwise.py:247-261)")
     run_p.add_argument("--corpus_file", type=str, default=None,
@@ -268,12 +280,13 @@ def make_ranker(args, engine):
         cls = MonoT5LlmRanker if "monot5" in model_name else PointwiseLlmRanker
         return cls(engine, method=args.pointwise.method)
     if args.setwise:
-        if args.setwise.prompt_file:
+        sw_prompt = args.setwise.prompt_file or args.run.prompt_file
+        if sw_prompt:
             from ..rankers.rank_r1 import RankR1SetwiseLlmRanker
 
             return RankR1SetwiseLlmRanker(
                 engine,
-                prompt_file=args.setwise.prompt_file,
+                prompt_file=sw_prompt,
                 num_child=args.setwise.num_child,
                 k=args.setwise.k,
                 method=args.setwise.method,
@@ -301,12 +314,13 @@ def make_ranker(args, engine):
         return PairwiseLlmRanker(engine, method=args.pairwise.method, k=args.pairwise.k,
                                  cache_comparisons=args.pairwise.cache_comparisons)
     if args.listwise:
-        if args.listwise.prompt_file:
+        lw_prompt = args.listwise.prompt_file or args.run.prompt_file
+        if lw_prompt:
             from ..rankers.rank_r1 import RankR1ListwiseLlmRanker
 
             return RankR1ListwiseLlmRanker(
                 engine,
-                prompt_file=args.listwise.prompt_file,
+                prompt_file=lw_prompt,
                 window_size=args.listwise.window_size,
                 step_size=args.listwise.step_size,
                 num_repeat=args.listwise.num_repeat,
@@ -342,10 +356,15 @@ def load_inputs(args, ranker):
         query_map = ds_mod.load_queries(r.query_file)
     elif r.ir_dataset_name:
         query_map = ds_mod.load_queries_ir_datasets(r.ir_dataset_name)
+    elif r.pyserini_dataset:
+        query_map = ds_mod.load_queries_pyserini_topics(
+            r.pyserini_dataset, exact=True
+        )
     elif r.pyserini_index:
         query_map = ds_mod.load_queries_pyserini_topics(r.pyserini_index)
     else:
-        raise ValueError("need --query_file, --ir_dataset_name or --pyserini_index")
+        raise ValueError("need --query_file, --ir_dataset_name, "
+                         "--pyserini_dataset or --pyserini_index")
     query_map = {
         qid: ranker.truncate(text, r.query_length) for qid, text in query_map.items()
     }
@@ -393,7 +412,8 @@ def main(args) -> None:
     from ..utils.metering import EventLog, MeterReport
 
     rng = random.Random(args.run.seed)
-    lora_path = args.setwise.lora_name_or_path if args.setwise else None
+    lora_path = (args.setwise.lora_name_or_path if args.setwise else None) \
+        or args.run.lora_path_or_name
     engine = None if args.run.openai_key else make_engine(args.run, lora_path)
     ranker = make_ranker(args, engine)
     first_stage = load_inputs(args, ranker)

@@ -169,10 +169,13 @@ def load_queries_ir_datasets(dataset_name: str) -> Dict[str, str]:
     return {q.query_id: q.text for q in ds.queries_iter()}
 
 
-def load_queries_pyserini_topics(index: str) -> Dict[str, str]:
+def load_queries_pyserini_topics(index: str, exact: bool = False) -> Dict[str, str]:
+    """Pyserini topics. ``exact`` uses the name as-is (the Rank-R1
+    drivers' --pyserini_dataset, run_setwise.py:262-263); otherwise
+    '-test' is appended like the reference run.py:149."""
     from pyserini.search._base import get_topics  # gated
 
-    topics = get_topics(index + "-test")
+    topics = get_topics(index if exact else index + "-test")
     return {str(k): v["title"] for k, v in topics.items()}
 
 

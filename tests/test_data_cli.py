@@ -265,3 +265,21 @@ def test_rank_r1_insertion_method():
     out = r.rerank("which doc", docs)
     want = [f"d{i}" for i in np.argsort(vals)[::-1][:3]]
     assert [d.docid for d in out[:3]] == want
+
+
+def test_run_section_parity_flags(tmp_path):
+    """The Rank-R1 drivers put --prompt_file / --lora_path_or_name /
+    --pyserini_dataset in the RUN section (run_setwise.py:336-346); the
+    CLI accepts both placements for drop-in command compatibility."""
+    from llmrankers_tpu.cli.run import parse_args
+
+    args = parse_args([
+        "run", "--model_name_or_path", "random:dec-tiny",
+        "--prompt_file", "p.toml", "--lora_path_or_name", "ad",
+        "--pyserini_dataset", "dl19-passage",
+        "setwise", "--num_child", "19", "--method", "heapsort",
+    ])
+    assert args.run.prompt_file == "p.toml"
+    assert args.run.lora_path_or_name == "ad"
+    assert args.run.pyserini_dataset == "dl19-passage"
+    assert args.setwise.prompt_file is None
