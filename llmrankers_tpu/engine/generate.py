@@ -647,7 +647,29 @@ def decoder_spec_decode_chunk(
             (hist == tok[:, None]) & (hist_m1 == prev[:, None])
             & kmask & kmask_m1 & (pos_idx[None, :] < p_prev[:, None])
         )
-        p_best = jnp.max(jnp.where(match, pos_idx[None, :], -1), axis=1)
+        # Prefer the longer (trigram) context when one matches — more
+        # precise drafts, higher accept rates on real text (vLLM's ngram
+        # speculation does the same); fall back to the bigram match.
+        # Outputs are invariant to draft choice either way.
+        p_prev2 = jnp.max(
+            jnp.where(kmask & (pos_idx[None, :] < p_prev[:, None]),
+                      pos_idx[None, :], -1),
+            axis=1,
+        )
+        prev2 = jnp.take_along_axis(
+            hist, jnp.maximum(p_prev2, 0)[:, None], axis=1
+        )[:, 0]
+        prev2 = jnp.where(p_prev2 >= 0, prev2, -2)
+        hist_m2 = jnp.concatenate(
+            [jnp.full((B, 2), -1, hist.dtype), hist[:, :-2]], axis=1
+        )
+        kmask_m2 = jnp.concatenate(
+            [jnp.zeros((B, 2), bool), kmask[:, :-2]], axis=1
+        )
+        match3 = match & (hist_m2 == prev2[:, None]) & kmask_m2
+        p2 = jnp.max(jnp.where(match, pos_idx[None, :], -1), axis=1)
+        p3 = jnp.max(jnp.where(match3, pos_idx[None, :], -1), axis=1)
+        p_best = jnp.where(p3 >= 0, p3, p2)
         didx = jnp.minimum(
             p_best[:, None] + 1 + jnp.arange(K)[None, :], T - 1
         )
