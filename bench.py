@@ -164,8 +164,12 @@ def t5_latency(cfg, n_queries=16, n_docs=100):
         engine, num_child=2, k=10, scoring="likelihood", method="heapsort",
         spec_depth=3,
     )
-    ranker.rerank_many(queries[:1], [rankings[0][:]])  # warm-up
-    ranker.rerank_many(queries[1:2], [rankings[1][:]])
+    # Warm-up must cover EVERY wave shape the timed loop will hit (an
+    # isolated query's pop phase walks many small batch buckets; one
+    # cold compile mid-loop showed up as a 440s p99) — run the full
+    # query set once untimed.
+    for q in range(n_queries):
+        ranker.rerank(queries[q], list(rankings[q]))
     lats = []
     for q in range(n_queries):
         t0 = time.perf_counter()
