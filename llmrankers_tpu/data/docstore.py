@@ -30,6 +30,26 @@ class DictDocstore(Docstore):
         return self._m[docid]
 
 
+def _row_docid(d: Dict) -> str:
+    """Preference order id > docid > _id, by key PRESENCE (not
+    truthiness — {"id": 0} must index as "0"). Shared convention with
+    the no-parse scanners (utils/native.jsonl_scan)."""
+    for k in ("id", "docid", "_id"):
+        if k in d:
+            return str(d[k])
+    raise ValueError("row without an id/docid/_id key")
+
+
+def _row_text(d: Dict) -> str:
+    """text/contents fallback + title prepend (run.py:166-173). One
+    definition so the in-memory and offset-indexed stores can never
+    disagree."""
+    text = d.get("text") or d.get("contents") or ""
+    if d.get("title"):
+        text = f"{d['title']} {text}"
+    return text
+
+
 class JsonlDocstore(Docstore):
     """{"id"|"docid"|"_id": ..., "title": ..., "text"|"contents": ...} rows.
 
@@ -44,11 +64,7 @@ class JsonlDocstore(Docstore):
                 if not line.strip():
                     continue
                 d = json.loads(line)
-                docid = str(d.get("id") or d.get("docid") or d.get("_id"))
-                text = d.get("text") or d.get("contents") or ""
-                if d.get("title"):
-                    text = f"{d['title']} {text}"
-                self._m[docid] = text
+                self._m[_row_docid(d)] = _row_text(d)
 
     def get_text(self, docid: str) -> str:
         return self._m[docid]
@@ -60,7 +76,12 @@ class IndexedJsonlDocstore(Docstore):
     these to Lucene, run.py:169-173). One native single-pass scan
     (hostops.cpp::jsonl_scan, regex fallback) builds docid -> (byte
     offset, length); texts parse lazily on access. Memory: the id map
-    only (~100B/doc instead of the full text)."""
+    only (~100B/doc instead of the full text).
+
+    The scanners locate the id WITHOUT a JSON parse, so rows must carry
+    their id/docid/_id at the TOP level before any nested object that
+    also has such a key (true of the Pyserini/BRIGHT corpus formats);
+    ids containing JSON escapes are unsupported."""
 
     def __init__(self, path: str):
         from ..utils import native
@@ -78,16 +99,21 @@ class IndexedJsonlDocstore(Docstore):
     def __len__(self) -> int:
         return len(self._index)
 
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def get_text(self, docid: str) -> str:
         off, ln = self._index[docid]
         with self._lock:
             self._f.seek(off)
             raw = self._f.read(ln)
-        d = json.loads(raw)
-        text = d.get("text") or d.get("contents") or ""
-        if d.get("title"):
-            text = f"{d['title']} {text}"
-        return text
+        return _row_text(json.loads(raw))
 
 
 def open_jsonl_docstore(

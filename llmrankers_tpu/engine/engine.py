@@ -288,12 +288,10 @@ class ScoringEngine:
         # exceed it must take the ungrouped path, which truncates them
         # (with the warning) instead of running out-of-range RoPE.
         cap = self._ctx_cap()
-        if cap:
-            pre_len = {i: len(p) for i, p in enumerate(pre_rows)}
-            if any(
-                pre_len[g] + len(s) > cap for g, s in zip(gidx, suf_rows)
-            ):
-                return None
+        if cap and any(
+            len(pre_rows[g]) + len(s) > cap for g, s in zip(gidx, suf_rows)
+        ):
+            return None
         pids, pmask, _, _ = self._pad_batch(pre_rows)
         sids, smask, n, B = self._pad_batch(suf_rows, b_cap=b_cap)
         gvec = np.zeros((B,), np.int32)

@@ -195,9 +195,15 @@ def jsonl_scan(path: str):
 
     global _ID_RE
     if _ID_RE is None:
-        _ID_RE = re.compile(
-            rb'[{,\s]"(?:id|docid|_id)"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+)'
-        )
+        # One pattern per key, tried in the same preference order as the
+        # native scanner (id > docid > _id) — a single alternation would
+        # pick whichever key appears FIRST IN THE LINE instead.
+        _ID_RE = [
+            re.compile(
+                rb'[{,\s]"' + k + rb'"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+)'
+            )
+            for k in (b"id", b"docid", b"_id")
+        ]
     ids: List[str] = []
     offs: List[int] = []
     lens: List[int] = []
@@ -205,7 +211,9 @@ def jsonl_scan(path: str):
     with open(path, "rb") as f:
         for line in f:
             if line.strip():
-                m = _ID_RE.search(line)
+                m = next(
+                    (m for rx in _ID_RE if (m := rx.search(line))), None
+                )
                 if not m:
                     raise ValueError(
                         f"{path}: row without an id/docid/_id key"

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cctype>
 #include <cstring>
 
 extern "C" {
@@ -138,8 +139,7 @@ int64_t jsonl_count(const char* path) {
   ssize_t nread;
   while ((nread = getline(&line, &cap, f)) != -1) {
     for (ssize_t i = 0; i < nread; ++i) {
-      char c = line[i];
-      if (c != ' ' && c != '\t' && c != '\r' && c != '\n') { ++count; break; }
+      if (!isspace((unsigned char)line[i])) { ++count; break; }
     }
   }
   free(line);
@@ -205,8 +205,7 @@ int64_t jsonl_scan(const char* path, int64_t max_rows,
   while (row < max_rows && (nread = getline(&line, &cap, f)) != -1) {
     int blank = 1;
     for (ssize_t i = 0; i < nread; ++i) {
-      char c = line[i];
-      if (c != ' ' && c != '\t' && c != '\r' && c != '\n') { blank = 0; break; }
+      if (!isspace((unsigned char)line[i])) { blank = 0; break; }
     }
     if (!blank) {
       int64_t s = 0, l = 0, found = 0;

@@ -107,6 +107,9 @@ def test_jsonl_scan_native_and_fallback(tmp_path):
         {"_id": "d3", "contents": "gamma"},
         {"corpus_id": "decoy", "id": 42, "text": "numeric id"},
         {"text": "id last", "id": "d5"},
+        # preference order: "id" wins over "_id"/"docid" regardless of
+        # which appears first in the line
+        {"_id": "wrong", "docid": "alsowrong", "id": "d6", "text": "x"},
     ]
     p = tmp_path / "c.jsonl"
     with open(p, "w") as f:
@@ -122,7 +125,7 @@ def test_jsonl_scan_native_and_fallback(tmp_path):
             native._lib, native._tried = lib, lib is not None
 
     ids_f, off_f, len_f = fallback(str(p))
-    assert ids_f == ["d1", "d2", "d3", "42", "d5"]
+    assert ids_f == ["d1", "d2", "d3", "42", "d5", "d6"]
     # byte ranges parse back to the right row
     with open(p, "rb") as f:
         for i, r in enumerate(rows):
