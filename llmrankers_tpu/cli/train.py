@@ -35,6 +35,10 @@ def add_common(p):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup, then linear decay to 0 at "
+                        "--steps (ds_zero0_config.json WarmupDecayLR); "
+                        "0 = constant LR")
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=int, default=32)
     p.add_argument("--save_steps", type=int, default=20)
@@ -119,6 +123,8 @@ def main_grpo(args):
         beta=args.beta,
         max_completion_length=args.max_completion_length,
         max_prompt_length=args.max_prompt_length,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.steps,
         lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
     )
     trainer = GRPOTrainer(cfg, params, tok, gcfg, mesh)
@@ -173,6 +179,8 @@ def main_sft(args):
     tcfg = SFTConfig(
         learning_rate=args.learning_rate,
         max_length=args.max_length,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.steps,
         lora=LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
     )
     step_fn, lora, opt = make_sft_step(cfg, tcfg, mesh, params)

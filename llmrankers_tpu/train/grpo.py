@@ -44,7 +44,28 @@ class GRPOConfig:
     max_prompt_length: int = 1024
     grad_clip: float = 1.0
     grad_accum: int = 1                # v0.2 uses 4 (train_grpo_v0.2.py:36)
+    warmup_steps: int = 0              # ds_zero0_config.json WarmupDecayLR
+    total_steps: int = 0               # >0 with warmup: linear decay to 0
     lora: lora_mod.LoraConfig = lora_mod.LoraConfig()
+
+
+def lr_schedule(cfg):
+    """DeepSpeed WarmupDecayLR semantics (ds_zero0_config.json: linear
+    warmup to learning_rate over warmup_steps, then linear decay to 0 at
+    total_steps). warmup_steps == 0 keeps the reference scripts' constant
+    LR (TRL default when no scheduler config is given)."""
+    if cfg.warmup_steps <= 0:
+        return cfg.learning_rate
+    total = max(cfg.total_steps, cfg.warmup_steps + 1)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+            optax.linear_schedule(
+                cfg.learning_rate, 0.0, total - cfg.warmup_steps
+            ),
+        ],
+        [cfg.warmup_steps],
+    )
 
 
 class GRPOTrainer:
@@ -65,7 +86,7 @@ class GRPOTrainer:
         self.base_params = base_params
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(cfg.learning_rate),
+            optax.adamw(lr_schedule(cfg)),
         )
         # DDP layout (ds_zero0_config.json stage-0 semantics): adapter +
         # optimizer state replicated on every device, batches sharded over

@@ -36,7 +36,28 @@ class SFTConfig:
     grad_clip: float = 1.0
     batch_size: int = 2
     grad_accum: int = 8
+    warmup_steps: int = 0        # ds_zero0_config.json WarmupDecayLR
+    total_steps: int = 0         # >0 with warmup: linear decay to 0
     lora: lora_mod.LoraConfig = lora_mod.LoraConfig()
+
+
+def lr_schedule(cfg):
+    """DeepSpeed WarmupDecayLR semantics (ds_zero0_config.json: linear
+    warmup to learning_rate over warmup_steps, then linear decay to 0 at
+    total_steps). warmup_steps == 0 keeps the reference scripts' constant
+    LR (TRL default when no scheduler config is given)."""
+    if cfg.warmup_steps <= 0:
+        return cfg.learning_rate
+    total = max(cfg.total_steps, cfg.warmup_steps + 1)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+            optax.linear_schedule(
+                cfg.learning_rate, 0.0, total - cfg.warmup_steps
+            ),
+        ],
+        [cfg.warmup_steps],
+    )
 
 
 def completion_only_mask(
@@ -89,7 +110,8 @@ def make_sft_step(
     """
     tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip),
-        optax.adamw(train_cfg.learning_rate, weight_decay=train_cfg.weight_decay),
+        optax.adamw(lr_schedule(train_cfg),
+                    weight_decay=train_cfg.weight_decay),
     )
     lora0 = lora_mod.init_lora(base_params, train_cfg.lora, jax.random.PRNGKey(0))
     repl = NamedSharding(mesh, P())
@@ -123,7 +145,8 @@ def make_full_train_step(
     multichip dry-run compiles. Returns step(params, opt_state, batch)."""
     tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip),
-        optax.adamw(train_cfg.learning_rate, weight_decay=train_cfg.weight_decay),
+        optax.adamw(lr_schedule(train_cfg),
+                    weight_decay=train_cfg.weight_decay),
     )
     data_sh = NamedSharding(mesh, P("data"))
 

@@ -497,3 +497,33 @@ def test_grpo_grouped_prefill_matches_replicated(tiny_model):
         grouped = np.asarray(tr._sample_fn(L, T, G)(tr.lora, uids, umask, rng))
         flat = np.asarray(tr._sample_fn(L, T, 1)(tr.lora, rep_ids, rep_mask, rng))
     np.testing.assert_array_equal(grouped, flat)
+
+
+def test_lr_schedule_warmup_decay():
+    """WarmupDecayLR semantics: 0 -> lr over warmup_steps, then linear
+    to 0 at total_steps; warmup_steps=0 keeps a constant LR."""
+    from llmrankers_tpu.train.grpo import GRPOConfig, lr_schedule
+
+    const = lr_schedule(GRPOConfig(learning_rate=2e-5))
+    assert const == 2e-5
+    sched = lr_schedule(GRPOConfig(learning_rate=1e-5, warmup_steps=10,
+                                   total_steps=110))
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 0.5e-5) < 1e-12
+    assert abs(float(sched(10)) - 1e-5) < 1e-12
+    assert abs(float(sched(60)) - 0.5e-5) < 1e-12
+    assert float(sched(110)) <= 1e-12
+
+
+def test_grpo_trains_with_warmup(tiny_model):
+    cfg, params = tiny_model
+    mesh = mesh_mod.make_mesh(1, 1)
+    tok = ByteTokenizer(cfg.vocab_size)
+    gcfg = GRPOConfig(num_generations=2, max_completion_length=4,
+                      max_prompt_length=32, warmup_steps=2, total_steps=4,
+                      lora=lora_mod.LoraConfig(r=2, alpha=4))
+    tr = GRPOTrainer(cfg, params, tok, gcfg, mesh,
+                     reward_fn=lambda c, g: [float(i % 2) for i in range(len(c))])
+    prompts = [[{"role": "user", "content": "pick"}]]
+    m = tr.train_step(prompts, ["[1]"])
+    assert np.isfinite(m["loss"])
