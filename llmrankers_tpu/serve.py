@@ -15,6 +15,8 @@ API (Cohere-/Jina-style rerank endpoint):
         "meters": {"comparisons": N, "prompt_tokens": N, ...}}
 
     GET /health -> {"status": "ok", ...}
+    GET /stats  -> serving counters (requests served, adapters, compiled
+                   program count, speculative-decoding accept stats)
 
 Run:
 
@@ -138,6 +140,27 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
             if self.path == "/health":
                 self._send(200, {"status": "ok", "served": service.served,
                                  "adapters": sorted(service.adapters)})
+            elif self.path == "/stats":
+                # getattr-tolerant: test oracles/custom engines may not
+                # carry every ScoringEngine attribute.
+                eng = service.ranker.engine
+                spec = dict(getattr(eng, "spec_stats", None)
+                            or {"tokens": 0, "rounds": 0})
+                self._send(200, {
+                    "served": service.served,
+                    "adapters": sorted(service.adapters),
+                    "model_kind": getattr(eng, "kind", "unknown"),
+                    "spec_lookup": getattr(eng, "spec_lookup", 0),
+                    "spec_tokens": spec["tokens"],
+                    "spec_rounds": spec["rounds"],
+                    "spec_accept_tokens_per_round": (
+                        round(spec["tokens"] / spec["rounds"], 3)
+                        if spec["rounds"] else None
+                    ),
+                    "compiled_programs": len(
+                        getattr(eng, "_jit_cache", ())
+                    ),
+                })
             else:
                 self._send(404, {"error": "not found"})
 

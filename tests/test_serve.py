@@ -86,6 +86,10 @@ def test_bad_requests(server):
     assert status == 200 and out["results"][0]["index"] == 1
     with urllib.request.urlopen(base + "/health", timeout=10) as resp:
         assert json.loads(resp.read())["status"] == "ok"
+    with urllib.request.urlopen(base + "/stats", timeout=10) as resp:
+        stats = json.loads(resp.read())
+        assert stats["served"] >= 1
+        assert "compiled_programs" in stats and "spec_lookup" in stats
 
 
 def test_adapter_routing(server):
