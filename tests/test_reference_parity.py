@@ -264,3 +264,99 @@ def test_pairwise_heapsort_matches_hf_reference_port():
     # keep the same passthrough tail membership.
     assert [d.docid for d in ours[:4]] == [d.docid for d in expected[:4]]
     assert {d.docid for d in ours} == {d.docid for d in expected}
+
+
+class _HFReferenceListwise:
+    """Port of the reference ListwiseLlmRanker likelihood mode
+    (listwise.py:273-286) + bottom-up sliding window (:178-196) +
+    permutation parsing (:113-144, clean/dedupe/drop/append)."""
+
+    def __init__(self, model, tok, window_size=4, step_size=2, num_repeat=2):
+        self.llm = model
+        self.tok = tok
+        self.window_size = window_size
+        self.step_size = step_size
+        self.num_repeat = num_repeat
+        self.decoder_input_ids = torch.tensor(
+            [tok.encode("<pad> Passage", add_special_tokens=False)]
+        )
+        self.target_token_ids = torch.tensor([
+            tok.encode(f"<pad> Passage {c}", add_special_tokens=False)[-1]
+            for c in CHARACTERS
+        ])
+
+    def compare(self, query, docs):
+        input_text = prompts_mod.setwise_prompt(query, [d.text for d in docs])
+        ids = torch.tensor([self.tok.encode(input_text, add_special_tokens=True)])
+        with torch.no_grad():
+            logits = self.llm(
+                input_ids=ids, decoder_input_ids=self.decoder_input_ids
+            ).logits[0][-1]
+            distributions = torch.softmax(logits, dim=0)
+            scores = distributions[self.target_token_ids[: len(docs)]]
+            ranked = sorted(
+                zip([f"[{i + 1}]" for i in range(len(docs))], scores),
+                key=lambda x: x[1], reverse=True,
+            )
+            return ">".join(r[0] for r in ranked)
+
+    @staticmethod
+    def receive_permutation(ranking, permutation, rank_start, rank_end):
+        import copy as _copy
+
+        response = "".join(
+            c if c.isdigit() else " " for c in permutation
+        ).strip()
+        response = [int(x) - 1 for x in response.split()]
+        dedup = []
+        for c in response:
+            if c not in dedup:
+                dedup.append(c)
+        cut_range = _copy.deepcopy(ranking[rank_start:rank_end])
+        original_rank = list(range(len(cut_range)))
+        resp = [s for s in dedup if s in original_rank]
+        resp = resp + [t for t in original_rank if t not in resp]
+        for j, x in enumerate(resp):
+            ranking[j + rank_start] = cut_range[x]
+        return ranking
+
+    def rerank(self, query, ranking):
+        import copy as _copy
+
+        for _ in range(self.num_repeat):
+            ranking = _copy.deepcopy(ranking)
+            end_pos = len(ranking)
+            start_pos = end_pos - self.window_size
+            while start_pos >= 0:
+                start_pos = max(start_pos, 0)
+                result = self.compare(query, ranking[start_pos:end_pos])
+                ranking = self.receive_permutation(
+                    ranking, result, start_pos, end_pos
+                )
+                end_pos = end_pos - self.step_size
+                start_pos = start_pos - self.step_size
+        for i, doc in enumerate(ranking):
+            doc.score = -i
+        return ranking
+
+
+def test_listwise_sliding_matches_hf_reference_port():
+    from llmrankers_tpu.rankers import ListwiseLlmRanker
+
+    model, cfg, params = _hf_t5(tie=False, gated=True)
+    tok = ByteTokenizer(cfg.vocab_size)
+    query, docs = _workload(n_docs=9, seed=11)
+
+    ref = _HFReferenceListwise(model, tok, window_size=4, step_size=2,
+                               num_repeat=2)
+    expected = ref.rerank(query, [SearchResult(d.docid, d.score, d.text)
+                                  for d in docs])
+
+    engine = ScoringEngine("t5", cfg, params, tok)
+    ours = ListwiseLlmRanker(
+        engine, window_size=4, step_size=2, num_repeat=2,
+        scoring="likelihood",
+    ).rerank(query, list(docs))
+
+    assert [d.docid for d in ours] == [d.docid for d in expected]
+    assert [d.score for d in ours] == [d.score for d in expected]
