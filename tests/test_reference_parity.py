@@ -360,3 +360,66 @@ def test_listwise_sliding_matches_hf_reference_port():
 
     assert [d.docid for d in ours] == [d.docid for d in expected]
     assert [d.score for d in ours] == [d.score for d in expected]
+
+
+class _HFReferencePointwise:
+    """Port of the reference PointwiseLlmRanker (pointwise.py:36-133):
+    qlm = -sum CE of '<pad> {query}' labels under the 'write a question'
+    prompt; yes_no = softmax over Yes/No first-token logits at the forced
+    pad decoder input. Batch size 1 (batching does not change scores)."""
+
+    def __init__(self, model, tok, method):
+        self.llm = model
+        self.tok = tok
+        self.method = method
+
+    def rerank(self, query, ranking):
+        ranking = [SearchResult(d.docid, d.score, d.text) for d in ranking]
+        if self.method == "qlm":
+            labels = torch.tensor(
+                [self.tok.encode(f"<pad> {query}", add_special_tokens=False)]
+            )
+            for doc in ranking:
+                ids = torch.tensor([self.tok.encode(
+                    prompts_mod.qlm_prompt(doc.text), add_special_tokens=True
+                )])
+                with torch.no_grad():
+                    logits = self.llm(input_ids=ids, labels=labels).logits
+                loss_fct = torch.nn.CrossEntropyLoss(reduction="none")
+                s = loss_fct(
+                    logits.view(-1, logits.size(-1)), labels.view(-1)
+                )
+                doc.score = (-1 * s.view(-1, labels.size(-1)).sum(dim=1)).item()
+        else:
+            yes_id = self.tok.encode("Yes", add_special_tokens=False)[0]
+            no_id = self.tok.encode("No", add_special_tokens=False)[0]
+            dec = torch.tensor([[0]], dtype=torch.long)  # pad id
+            for doc in ranking:
+                ids = torch.tensor([self.tok.encode(
+                    prompts_mod.yes_no_prompt(query, doc.text),
+                    add_special_tokens=True,
+                )])
+                with torch.no_grad():
+                    logits = self.llm(
+                        input_ids=ids, decoder_input_ids=dec
+                    ).logits
+                pair = torch.cat(
+                    (logits[:, :, yes_id], logits[:, :, no_id]), dim=1
+                )
+                doc.score = torch.nn.functional.softmax(pair, dim=1)[0, 0].item()
+        return sorted(ranking, key=lambda x: x.score, reverse=True)
+
+
+@pytest.mark.parametrize("method", ["yes_no", "qlm"])
+def test_pointwise_matches_hf_reference_port(method):
+    from llmrankers_tpu.rankers import PointwiseLlmRanker
+
+    model, cfg, params = _hf_t5(tie=False, gated=True)
+    tok = ByteTokenizer(cfg.vocab_size)
+    query, docs = _workload(n_docs=10, seed=7)
+
+    expected = _HFReferencePointwise(model, tok, method).rerank(query, docs)
+
+    engine = ScoringEngine("t5", cfg, params, tok)
+    ours = PointwiseLlmRanker(engine, method=method).rerank(query, list(docs))
+    assert [d.docid for d in ours] == [d.docid for d in expected]
