@@ -423,3 +423,102 @@ def test_pointwise_matches_hf_reference_port(method):
     engine = ScoringEngine("t5", cfg, params, tok)
     ours = PointwiseLlmRanker(engine, method=method).rerank(query, list(docs))
     assert [d.docid for d in ours] == [d.docid for d in expected]
+
+
+class _HFReferenceSupervised:
+    """Ports of the supervised heads: monoT5 (pointwise.py:136-186 —
+    P(true) over true/false logits at decoder position 0 under the
+    decoder start token) and duoT5 (pairwise.py:296-352 — P(true|AB) >
+    P(true|BA) through the binary heapsort). The magic ids 6136/1176 are
+    the real-vocab 'false'/'true'; the test vocab derives them from the
+    shared tokenizer like our rankers do."""
+
+    def __init__(self, model, tok, start_id):
+        self.llm = model
+        self.tok = tok
+        self.false_id = tok.encode("false", add_special_tokens=False)[0]
+        self.true_id = tok.encode("true", add_special_tokens=False)[0]
+        self.start = torch.tensor([[start_id]], dtype=torch.long)
+
+    def _p_true(self, text):
+        ids = torch.tensor([self.tok.encode(text, add_special_tokens=True)])
+        with torch.no_grad():
+            logits = self.llm(
+                input_ids=ids, decoder_input_ids=self.start
+            ).logits
+        pair = logits[:, 0, [self.false_id, self.true_id]]
+        return torch.nn.functional.softmax(pair, dim=1)[0, 1].item()
+
+    def mono_rerank(self, query, ranking):
+        ranking = [SearchResult(d.docid, d.score, d.text) for d in ranking]
+        for doc in ranking:
+            doc.score = self._p_true(prompts_mod.monot5_prompt(query, doc.text))
+        return sorted(ranking, key=lambda x: x.score, reverse=True)
+
+    def duo_rerank(self, query, ranking, k):
+        def gt(a, b):
+            pa = self._p_true(prompts_mod.duot5_prompt(query, a.text, b.text))
+            pb = self._p_true(prompts_mod.duot5_prompt(query, b.text, a.text))
+            return pa > pb
+
+        arr = list(ranking)
+        n = len(arr)
+        ranked = 0
+
+        def heapify(n_, i):
+            largest = i
+            l, r = 2 * i + 1, 2 * i + 2
+            if l < n_ and gt(arr[l], arr[i]):
+                largest = l
+            if r < n_ and gt(arr[r], arr[largest]):
+                largest = r
+            if largest != i:
+                arr[i], arr[largest] = arr[largest], arr[i]
+                heapify(n_, largest)
+
+        for i in range(n // 2, -1, -1):
+            heapify(n, i)
+        for i in range(n - 1, 0, -1):
+            arr[i], arr[0] = arr[0], arr[i]
+            ranked += 1
+            if ranked == k:
+                break
+            heapify(i, 0)
+        out = list(reversed(arr))
+        results, top, rank = [], set(), 1
+        for doc in out[:k]:
+            top.add(doc.docid)
+            results.append(SearchResult(doc.docid, -rank, None))
+            rank += 1
+        for doc in ranking:
+            if doc.docid not in top:
+                results.append(SearchResult(doc.docid, -rank, None))
+                rank += 1
+        return results
+
+
+def test_monot5_matches_hf_reference_port():
+    from llmrankers_tpu.rankers import MonoT5LlmRanker
+
+    model, cfg, params = _hf_t5(tie=False, gated=True)
+    tok = ByteTokenizer(cfg.vocab_size)
+    query, docs = _workload(n_docs=10, seed=13)
+    ref = _HFReferenceSupervised(model, tok, cfg.decoder_start_token_id)
+    expected = ref.mono_rerank(query, docs)
+    engine = ScoringEngine("t5", cfg, params, tok)
+    ours = MonoT5LlmRanker(engine).rerank(query, list(docs))
+    assert [d.docid for d in ours] == [d.docid for d in expected]
+
+
+def test_duot5_matches_hf_reference_port():
+    from llmrankers_tpu.rankers import DuoT5LlmRanker
+
+    model, cfg, params = _hf_t5(tie=False, gated=True)
+    tok = ByteTokenizer(cfg.vocab_size)
+    query, docs = _workload(n_docs=8, seed=17)
+    ref = _HFReferenceSupervised(model, tok, cfg.decoder_start_token_id)
+    expected = ref.duo_rerank(query, list(docs), k=4)
+    engine = ScoringEngine("t5", cfg, params, tok)
+    ours = DuoT5LlmRanker(engine, k=4).rerank(query, list(docs))
+    assert [d.docid for d in ours[:4]] == [d.docid for d in expected[:4]]
+    assert {d.docid for d in ours} == {d.docid for d in expected}
