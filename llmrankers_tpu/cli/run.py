@@ -96,6 +96,16 @@ def build_parsers():
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
     run_p.add_argument("--seed", type=int, default=929)
+    run_p.add_argument("--len_buckets", type=str, default=None,
+                       help="comma-separated padded-length ladder, e.g. "
+                            "'512,640,1024' (default: the engine's "
+                            "general-purpose ladder). Fewer buckets = "
+                            "fewer compiles; tighter buckets = less "
+                            "padding waste")
+    run_p.add_argument("--max_batch_tokens", type=int, default=None,
+                       help="per-dispatch token budget B*L (default 2^17); "
+                            "lower to bound activation memory, raise for "
+                            "throughput on small models")
     run_p.add_argument("--cohorts", type=int, default=1,
                        help="parallel rerank cohorts sharing the engine "
                             "(2 overlaps host work with device compute)")
@@ -230,10 +240,17 @@ def make_engine(run_args, lora_path=None):
     mesh = mesh_mod.make_mesh(run_args.data_parallel, run_args.tensor_parallel)
     # Adapter merge above happens in bf16 BEFORE quantization (merging
     # onto int8 weights is unsupported, models/quant.py).
+    extra = {}
+    if run_args.len_buckets:
+        extra["len_buckets"] = tuple(
+            int(x) for x in run_args.len_buckets.split(",") if x
+        )
+    if run_args.max_batch_tokens:
+        extra["max_batch_tokens"] = run_args.max_batch_tokens
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
                          quantize=run_args.quantize,
                          kv_quantize=run_args.kv_quantize,
-                         spec_lookup=run_args.spec_lookup)
+                         spec_lookup=run_args.spec_lookup, **extra)
 
 
 def make_ranker(args, engine):
