@@ -30,6 +30,25 @@ from typing import Dict, List, Optional
 logger = logging.getLogger(__name__)
 
 
+def _bucket_list(text: str):
+    """Sorted positive-int ladder; engine._bucket takes the FIRST entry
+    >= n, so an unsorted ladder would silently over-pad."""
+    try:
+        vals = sorted({int(x) for x in text.split(",") if x.strip()})
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"not a comma-list of ints: {text!r}")
+    if not vals or vals[0] < 1:
+        raise argparse.ArgumentTypeError("len_buckets need positive ints")
+    return tuple(vals)
+
+
+def _positive_int(text: str) -> int:
+    v = int(text)
+    if v < 1:
+        raise argparse.ArgumentTypeError("must be >= 1")
+    return v
+
+
 def build_parsers():
     parser = argparse.ArgumentParser(prog="llmrankers_tpu")
     commands = parser.add_subparsers(title="sub-commands")
@@ -96,13 +115,14 @@ def build_parsers():
     run_p.add_argument("--profile_dir", type=str, default=None,
                        help="capture a jax.profiler device trace here")
     run_p.add_argument("--seed", type=int, default=929)
-    run_p.add_argument("--len_buckets", type=str, default=None,
+    run_p.add_argument("--len_buckets", type=_bucket_list, default=None,
                        help="comma-separated padded-length ladder, e.g. "
                             "'512,640,1024' (default: the engine's "
                             "general-purpose ladder). Fewer buckets = "
                             "fewer compiles; tighter buckets = less "
                             "padding waste")
-    run_p.add_argument("--max_batch_tokens", type=int, default=None,
+    run_p.add_argument("--max_batch_tokens", type=_positive_int,
+                       default=None,
                        help="per-dispatch token budget B*L (default 2^17); "
                             "lower to bound activation memory, raise for "
                             "throughput on small models")
@@ -241,11 +261,9 @@ def make_engine(run_args, lora_path=None):
     # Adapter merge above happens in bf16 BEFORE quantization (merging
     # onto int8 weights is unsupported, models/quant.py).
     extra = {}
-    if run_args.len_buckets:
-        extra["len_buckets"] = tuple(
-            int(x) for x in run_args.len_buckets.split(",") if x
-        )
-    if run_args.max_batch_tokens:
+    if run_args.len_buckets is not None:
+        extra["len_buckets"] = run_args.len_buckets
+    if run_args.max_batch_tokens is not None:
         extra["max_batch_tokens"] = run_args.max_batch_tokens
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
                          quantize=run_args.quantize,

@@ -141,9 +141,9 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                 self._send(200, {"status": "ok", "served": service.served,
                                  "adapters": sorted(service.adapters)})
             elif self.path == "/stats":
-                # getattr-tolerant: test oracles/custom engines may not
-                # carry every ScoringEngine attribute.
-                eng = service.ranker.engine
+                # getattr-tolerant: API-backed or test rankers may carry
+                # no engine, and custom engines may lack attributes.
+                eng = getattr(service.ranker, "engine", None)
                 spec = dict(getattr(eng, "spec_stats", None)
                             or {"tokens": 0, "rounds": 0})
                 self._send(200, {

@@ -26,6 +26,7 @@ from ..models import decoder as dec_mod
 from ..models.config import DecoderConfig
 from ..parallel import mesh as mesh_mod
 from . import lora as lora_mod
+from .schedule import lr_schedule
 
 
 @dataclass(frozen=True)
@@ -40,24 +41,6 @@ class SFTConfig:
     total_steps: int = 0         # >0 with warmup: linear decay to 0
     lora: lora_mod.LoraConfig = lora_mod.LoraConfig()
 
-
-def lr_schedule(cfg):
-    """DeepSpeed WarmupDecayLR semantics (ds_zero0_config.json: linear
-    warmup to learning_rate over warmup_steps, then linear decay to 0 at
-    total_steps). warmup_steps == 0 keeps the reference scripts' constant
-    LR (TRL default when no scheduler config is given)."""
-    if cfg.warmup_steps <= 0:
-        return cfg.learning_rate
-    total = max(cfg.total_steps, cfg.warmup_steps + 1)
-    return optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
-            optax.linear_schedule(
-                cfg.learning_rate, 0.0, total - cfg.warmup_steps
-            ),
-        ],
-        [cfg.warmup_steps],
-    )
 
 
 def completion_only_mask(

@@ -283,3 +283,19 @@ def test_run_section_parity_flags(tmp_path):
     assert args.run.lora_path_or_name == "ad"
     assert args.run.pyserini_dataset == "dl19-passage"
     assert args.setwise.prompt_file is None
+
+
+def test_cli_tuning_knob_validation():
+    import pytest
+
+    from llmrankers_tpu.cli.run import parse_args
+
+    args = parse_args(["run", "--len_buckets", "1024,512,512",
+                       "--max_batch_tokens", "4096",
+                       "setwise", "--num_child", "2"])
+    assert args.run.len_buckets == (512, 1024)  # sorted + deduped
+    assert args.run.max_batch_tokens == 4096
+    with pytest.raises(SystemExit):
+        parse_args(["run", "--len_buckets", "512,abc", "setwise"])
+    with pytest.raises(SystemExit):
+        parse_args(["run", "--max_batch_tokens", "0", "setwise"])

@@ -527,3 +527,17 @@ def test_grpo_trains_with_warmup(tiny_model):
     prompts = [[{"role": "user", "content": "pick"}]]
     m = tr.train_step(prompts, ["[1]"])
     assert np.isfinite(m["loss"])
+
+
+def test_lr_schedule_rejects_degenerate_total():
+    import pytest
+
+    from llmrankers_tpu.train.grpo import GRPOConfig
+    from llmrankers_tpu.train.schedule import lr_schedule
+    from llmrankers_tpu.train.sft import lr_schedule as sft_sched
+
+    assert sft_sched is lr_schedule  # single shared definition
+    with pytest.raises(ValueError, match="total_steps"):
+        lr_schedule(GRPOConfig(warmup_steps=10, total_steps=0))
+    with pytest.raises(ValueError, match="total_steps"):
+        lr_schedule(GRPOConfig(warmup_steps=10, total_steps=10))
