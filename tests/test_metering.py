@@ -55,3 +55,22 @@ def test_event_log_disabled_is_noop(tmp_path):
     log = EventLog(None)
     log.emit("anything", x=1)  # must not raise
     log.close()
+
+
+def test_profiling_trace_and_annotate(tmp_path):
+    """--profile_dir capture path: a trace context writes profiler output
+    and the no-op path stays silent."""
+    import os
+
+    import jax.numpy as jnp
+
+    from llmrankers_tpu.utils import profiling
+
+    with profiling.trace(None):  # disabled: must not create anything
+        pass
+    d = tmp_path / "trace"
+    with profiling.trace(str(d)):
+        with profiling.annotate("phase"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    found = [f for _, _, fs in os.walk(d) for f in fs]
+    assert found, "trace produced no files"
