@@ -235,6 +235,13 @@ def main() -> None:
                          metavar="NAME=PEFT_DIR",
                          help="register a LoRA adapter; requests select it "
                               "via {\"adapter\": \"NAME\"}")
+    serve_p.add_argument("--warmup", type=int, default=0,
+                         metavar="N_DOCS",
+                         help="compile the scoring program at startup by "
+                              "reranking N_DOCS dummy docs before "
+                              "accepting traffic (first compiles take "
+                              "15-60s on TPU; without this the first "
+                              "live request pays them)")
     serve_args, rest = serve_p.parse_known_args(sys.argv[1:])
 
     ranker, args = build_ranker_from_args(rest)
@@ -250,12 +257,23 @@ def main() -> None:
         ns = getattr(args, sec)
         if ns is not None:
             top_n = ns.k
+    if serve_args.warmup > 0:
+        import time as _time
+
+        t0 = _time.time()
+        dummy = [
+            SearchResult(f"w{i}", 0.0, f"warmup passage number {i} text")
+            for i in range(serve_args.warmup)
+        ]
+        ranker.rerank_many(["warmup query"], [dummy])
+        print(f"warmup done in {_time.time() - t0:.1f}s", flush=True)
     service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms,
                             adapters=adapter_names)
     server = ThreadingHTTPServer(
         (serve_args.host, serve_args.port), make_handler(service, top_n)
     )
     print(f"serving on http://{serve_args.host}:{serve_args.port}", flush=True)
+    print("ready", flush=True)
     server.serve_forever()
 
 
