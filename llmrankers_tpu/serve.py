@@ -266,6 +266,9 @@ def main() -> None:
             for i in range(serve_args.warmup)
         ]
         ranker.rerank_many(["warmup query"], [dummy])
+        if serve_args.warmup > 3:
+            # Also warm the small-wave shapes a short request hits.
+            ranker.rerank_many(["warmup query"], [dummy[:3]])
         print(f"warmup done in {_time.time() - t0:.1f}s", flush=True)
     service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms,
                             adapters=adapter_names)
