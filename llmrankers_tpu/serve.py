@@ -277,7 +277,22 @@ def main() -> None:
     )
     print(f"serving on http://{serve_args.host}:{serve_args.port}", flush=True)
     print("ready", flush=True)
+
+    import signal
+
+    def _drain(signum, frame):
+        # Graceful: stop accepting, let in-flight jobs finish (their
+        # handler threads hold the batching loop), then exit.
+        print("draining on signal", signum, flush=True)
+        import threading
+
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     server.serve_forever()
+    service.shutdown()
+    print("stopped", flush=True)
 
 
 if __name__ == "__main__":
