@@ -53,9 +53,11 @@ class RerankService:
     """Micro-batching dispatcher over one ranker."""
 
     def __init__(self, ranker: LlmRanker, max_batch: int = 64,
-                 window_ms: float = 5.0, adapters: Optional[List[str]] = None):
+                 window_ms: float = 5.0, adapters: Optional[List[str]] = None,
+                 request_timeout_s: Optional[float] = None):
         self.ranker = ranker
         self.adapters = set(adapters or ())
+        self.request_timeout_s = request_timeout_s  # None = wait forever
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self.queue: "queue.Queue[_Job]" = queue.Queue()
@@ -196,7 +198,11 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                 for i, t in enumerate(texts)
             ]
             job = service.submit(query, ranking, req.get("adapter"))
-            job.done.wait()
+            if not job.done.wait(timeout=service.request_timeout_s):
+                # The job stays queued/running; the batching loop will
+                # finish and discard it — the client just stops waiting.
+                self._send(504, {"error": "rerank timed out"})
+                return
             if job.error:
                 self._send(500, {"error": job.error})
                 return
@@ -235,6 +241,11 @@ def main() -> None:
                          metavar="NAME=PEFT_DIR",
                          help="register a LoRA adapter; requests select it "
                               "via {\"adapter\": \"NAME\"}")
+    serve_p.add_argument("--request_timeout", type=float, default=None,
+                         metavar="SECONDS",
+                         help="504 a request not finished within this "
+                              "bound (cold compiles can take 15-60s; "
+                              "pair with --warmup)")
     serve_p.add_argument("--warmup", type=int, default=0,
                          metavar="N_DOCS",
                          help="compile the scoring program at startup by "
@@ -271,7 +282,8 @@ def main() -> None:
             ranker.rerank_many(["warmup query"], [dummy[:3]])
         print(f"warmup done in {_time.time() - t0:.1f}s", flush=True)
     service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms,
-                            adapters=adapter_names)
+                            adapters=adapter_names,
+                            request_timeout_s=serve_args.request_timeout)
     server = ThreadingHTTPServer(
         (serve_args.host, serve_args.port), make_handler(service, top_n)
     )

@@ -135,3 +135,37 @@ def test_adapter_groups_set_ranker_adapter():
     groups = dict((ad, n) for ad, n in seen)
     assert groups == {"a": 2, None: 1, "b": 1}
     service.shutdown()
+
+
+def test_request_timeout_504():
+    """A slow batch returns 504 within the configured bound instead of
+    hanging the client thread."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from llmrankers_tpu.serve import RerankService, make_handler
+    from http.server import ThreadingHTTPServer
+
+    class SlowRanker:
+        def rerank_many(self, queries, rankings, on_result=None):
+            time.sleep(2.0)
+            return [list(r) for r in rankings]
+
+    service = RerankService(SlowRanker(), max_batch=4, window_ms=1.0,
+                            request_timeout_s=0.3)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, None))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    body = json.dumps({"query": "q", "documents": ["a", "b"]}).encode()
+    req = urllib.request.Request(base + "/v1/rerank", data=body)
+    t0 = time.time()
+    try:
+        urllib.request.urlopen(req, timeout=5)
+        assert False, "expected 504"
+    except urllib.error.HTTPError as e:
+        assert e.code == 504
+    assert time.time() - t0 < 1.5  # bounded well below the 2s batch
+    srv.shutdown()
