@@ -196,6 +196,13 @@ async def bubblesort(
                 start_ind = i
             window = ranking[start_ind:end_ind]
             best = await compare(window)
+            # DOCUMENTED DIVERGENCE from the reference: setwise.py:255-256
+            # indexes `ranking[start_ind + best_ind]` for ANY known label,
+            # so a model answer beyond the window (e.g. 'E' for a 4-doc
+            # window) swaps in a document the model never saw — or
+            # IndexErrors at the list edge. Such answers are clamped to
+            # "no swap" here (the rankers' parse fallbacks make them land
+            # as 0 anyway); everything in-window is decision-identical.
             best_ind = best if 0 <= best < len(window) else 0
             if best_ind != 0:
                 ranking[start_ind], ranking[start_ind + best_ind] = (

@@ -482,11 +482,19 @@ def main(args) -> None:
 
         qs = [q for _, q, _ in first_stage]
         rs = [r for _, _, r in first_stage]
+        cohorts = args.run.cohorts
+        if cohorts > 1 and getattr(ranker, "num_permutation", 1) > 1:
+            # Each cohort ranker re-seeds its permutation RNG over a
+            # query subset — results would differ from cohorts=1
+            # (rerank_many_pipelined docstring). Keep determinism.
+            print("cohorts forced to 1: num_permutation > 1 draws from "
+                  "a shared RNG stream", file=sys.stderr)
+            cohorts = 1
         with trace(args.run.profile_dir):
-            if args.run.cohorts > 1:
+            if cohorts > 1:
                 _, cohort_rankers = rerank_many_pipelined(
                     lambda: make_ranker(args, engine), qs, rs,
-                    cohorts=args.run.cohorts, on_result=on_result,
+                    cohorts=cohorts, on_result=on_result,
                 )
                 stats_lists = [r.per_query_stats for r in cohort_rankers]
             else:

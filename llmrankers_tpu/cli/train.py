@@ -83,6 +83,14 @@ def load_model(args):
         from ..models import decoder as dec_mod
         from ..models.config import DecoderConfig
 
+        preset = args.model_name_or_path.split(":", 1)[1]
+        if preset != "dec-tiny":
+            # Mirror cli/run.py's strictness: a typo must not silently
+            # train a tiny byte-tokenizer model for hours.
+            raise ValueError(
+                f"unknown random preset {preset!r} (training smoke "
+                "supports random:dec-tiny)"
+            )
         cfg = DecoderConfig.tiny()
         params = dec_mod.init_params(cfg, jax.random.PRNGKey(args.seed))
         tok = ByteTokenizer(cfg.vocab_size)

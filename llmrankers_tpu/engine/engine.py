@@ -158,10 +158,13 @@ class ScoringEngine:
         # are evicted LRU and re-merged on next use (one einsum+add).
         import collections
 
+        import threading
+
         self._adapters: Dict[str, Any] = {}
         self._adapter_params: "collections.OrderedDict[str, Any]" = (
             collections.OrderedDict()
         )
+        self._adapter_lock = threading.Lock()
         self._max_cached_adapters = max(1, int(max_cached_adapters))
 
     # ------------------------------------------------------------------
@@ -194,26 +197,31 @@ class ScoringEngine:
     def _params_for(self, adapter: Optional[str]):
         if adapter is None:
             return self.params
-        if adapter not in self._adapter_params:
-            from ..train import lora as lora_mod
+        # The engine is shared across cohort/server threads
+        # (rerank_many_pipelined, the HTTP batching loop): the cache
+        # mutation must be atomic, and eviction must NOT .delete()
+        # buffers — another thread may hold the evicted pytree inside a
+        # running dispatch. Dropping the reference lets JAX free the HBM
+        # after the last pending use instead.
+        with self._adapter_lock:
+            if adapter not in self._adapter_params:
+                from ..train import lora as lora_mod
 
-            try:
-                raw, lcfg = self._adapters[adapter]
-            except KeyError:
-                raise KeyError(
-                    f"unknown adapter {adapter!r}; registered: "
-                    f"{sorted(self._adapters)}"
-                ) from None
-            while len(self._adapter_params) >= self._max_cached_adapters:
-                _, evicted = self._adapter_params.popitem(last=False)
-                for leaf in jax.tree.leaves(evicted):
-                    leaf.delete()  # free HBM before allocating the merge
-            merged = jax.jit(functools.partial(lora_mod.merge, cfg=lcfg))(self.params, raw)
-            self._adapter_params[adapter] = mesh_mod.shard_params(
-                merged, self._pspecs, self.mesh
-            )
-        self._adapter_params.move_to_end(adapter)
-        return self._adapter_params[adapter]
+                try:
+                    raw, lcfg = self._adapters[adapter]
+                except KeyError:
+                    raise KeyError(
+                        f"unknown adapter {adapter!r}; registered: "
+                        f"{sorted(self._adapters)}"
+                    ) from None
+                while len(self._adapter_params) >= self._max_cached_adapters:
+                    self._adapter_params.popitem(last=False)
+                merged = jax.jit(functools.partial(lora_mod.merge, cfg=lcfg))(self.params, raw)
+                self._adapter_params[adapter] = mesh_mod.shard_params(
+                    merged, self._pspecs, self.mesh
+                )
+            self._adapter_params.move_to_end(adapter)
+            return self._adapter_params[adapter]
 
     # ------------------------------------------------------------------
     # Host-side padding/bucketing

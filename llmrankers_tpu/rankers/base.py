@@ -114,8 +114,13 @@ def rerank_many_pipelined(
     """Run ``cohorts`` independent wave-batched rerank passes on threads
     sharing one engine, so one cohort's host work (tokenize/pack/parse)
     overlaps another's device compute. ~8% end-to-end on v5e at 64
-    queries; use cohorts=1 semantics-wise — results are identical, only
-    the device schedule changes.
+    queries.
+
+    Semantics: identical to cohorts=1 for DETERMINISTIC scoring. Rankers
+    whose comparisons draw from a shared RNG stream (setwise/Rank-R1
+    ``num_permutation > 1``) give different — equally valid — shuffles
+    per cohort, because each cohort ranker re-seeds its own stream over
+    a subset of the queries; the CLI forces cohorts=1 for those configs.
 
     Returns (results, rankers): per-query results in input order plus the
     cohort rankers (for meter aggregation).

@@ -72,8 +72,19 @@ class RerankService:
         self.queue.put(job)
         return job
 
-    def shutdown(self) -> None:
+    def shutdown(self, wait: bool = False) -> None:
+        """Stop the batching loop. ``wait`` joins it (current batch
+        finishes) and fails any still-queued jobs so no waiter hangs."""
         self._stop = True
+        if wait:
+            self._thread.join(timeout=600)
+            while True:
+                try:
+                    job = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                job.error = "server shutting down"
+                job.done.set()
 
     def _loop(self) -> None:
         while not self._stop:
@@ -223,8 +234,11 @@ def build_ranker_from_args(argv=None):
     args = parse_args(argv)
     if args.run is None:
         raise SystemExit("need the `run` section (see llmrankers_tpu.cli.run)")
-    lora = args.setwise.lora_name_or_path if args.setwise else None
-    engine = make_engine(args.run, lora)
+    # Mirror cli.run.main exactly: run-section --lora_path_or_name counts,
+    # and the OpenAI-API path builds no local engine.
+    lora = (args.setwise.lora_name_or_path if args.setwise else None) \
+        or args.run.lora_path_or_name
+    engine = None if args.run.openai_key else make_engine(args.run, lora)
     return make_ranker(args, engine), args
 
 
@@ -287,14 +301,20 @@ def main() -> None:
     server = ThreadingHTTPServer(
         (serve_args.host, serve_args.port), make_handler(service, top_n)
     )
+    # Drain semantics need handler threads joined at close: without this
+    # they are daemons and interpreter exit kills responses mid-flight.
+    server.daemon_threads = False
+    server.block_on_close = True
     print(f"serving on http://{serve_args.host}:{serve_args.port}", flush=True)
     print("ready", flush=True)
 
     import signal
 
     def _drain(signum, frame):
-        # Graceful: stop accepting, let in-flight jobs finish (their
-        # handler threads hold the batching loop), then exit.
+        # Graceful: stop accepting; serve_forever returns, then
+        # server_close() joins the handler threads (still waiting on
+        # their jobs) and service.shutdown(wait=True) finishes the
+        # batching loop's current batch and fails queued leftovers.
         print("draining on signal", signum, flush=True)
         import threading
 
@@ -303,7 +323,8 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _drain)
     signal.signal(signal.SIGINT, _drain)
     server.serve_forever()
-    service.shutdown()
+    server.server_close()
+    service.shutdown(wait=True)
     print("stopped", flush=True)
 
 
