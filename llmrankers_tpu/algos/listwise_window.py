@@ -111,10 +111,13 @@ async def topdown(
     else:
         top = await topdown(runner, pool, k, w, compare)
 
-    taken = set(id(d) for d in top) | {id(pivot)}
-    tail = [d for d in items if id(d) not in taken]  # first-stage order
-    # `below` and un-promoted docs are both in `tail`; `below` docs keep
-    # their head-window ranking ahead of never-promoted rest docs only
-    # through their original positions, matching the paper's "unjudged
-    # tail keeps retrieval order" behavior.
-    return top + [pivot] + tail
+    # The head window DID judge `below` (it ranked them just under the
+    # pivot): keep that ranking immediately after the pivot rather than
+    # letting a judged doc fall behind never-judged rest docs. Only the
+    # genuinely unjudged remainder keeps first-stage retrieval order
+    # (the paper's tail behavior).
+    taken = (
+        set(id(d) for d in top) | {id(pivot)} | set(id(d) for d in below)
+    )
+    tail = [d for d in items if id(d) not in taken]  # retrieval order
+    return top + [pivot] + below + tail

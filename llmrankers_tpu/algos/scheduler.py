@@ -70,6 +70,7 @@ class WaveRunner:
         self._max_batch = max_batch_size
         self._cache_key = cache_key
         self._cache: dict = {}
+        self._inflight: dict = {}  # key -> future of the wave's primary request
         self._pending: List[_Pending] = []
         self._live = 0  # tasks that may still submit requests
         self._seq = 0
@@ -89,8 +90,27 @@ class WaveRunner:
             if key is not None and key in self._cache:
                 self.num_cache_hits += 1
                 return self._cache[key]
+            inflight = self._inflight.get(key) if key is not None else None
+            if inflight is not None and not inflight.done():
+                # A request with the same key is already pending in this
+                # wave (e.g. parallel topdown windows sharing a pivot, or
+                # racing cohort tasks): await its outcome instead of
+                # dispatching a second device row. While blocked on a
+                # future another task owns we are not live (mirrors
+                # gather()), else the runner would deadlock waiting for us.
+                self.num_cache_hits += 1
+                self._live -= 1
+                self._progress += 1
+                self._maybe_signal()
+                try:
+                    return await inflight
+                finally:
+                    self._live += 1
+                    self._progress += 1
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
+        if key is not None:
+            self._inflight[key] = fut
         self._pending.append(_Pending(self._seq, request, fut, key))
         self._seq += 1
         self._progress += 1
@@ -230,6 +250,7 @@ class WaveRunner:
             for p, out in zip(chunk, outcomes):
                 if p.key is not None:
                     self._cache[p.key] = out
+                    self._inflight.pop(p.key, None)
                 if not p.future.done():
                     p.future.set_result(out)
 

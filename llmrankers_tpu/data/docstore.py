@@ -78,10 +78,11 @@ class IndexedJsonlDocstore(Docstore):
     offset, length); texts parse lazily on access. Memory: the id map
     only (~100B/doc instead of the full text).
 
-    The scanners locate the id WITHOUT a JSON parse, so rows must carry
-    their id/docid/_id at the TOP level before any nested object that
-    also has such a key (true of the Pyserini/BRIGHT corpus formats);
-    ids containing JSON escapes are unsupported."""
+    The native scanner locates the id WITHOUT a JSON parse, tracking
+    string state and brace depth so only TOP-LEVEL id/docid/_id keys
+    are candidates (a nested {"meta": {"id": ...}} never shadows the
+    row id — same key semantics as JsonlDocstore). Ids containing JSON
+    escapes are unsupported by the offset index."""
 
     def __init__(self, path: str):
         from ..utils import native

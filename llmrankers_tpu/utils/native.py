@@ -152,16 +152,14 @@ def trec_parse(path: str):
     return qids, docids, ranks[:got], scores[:got]
 
 
-_ID_RE = None  # compiled lazily for the pure-Python fallback
-
-
 def jsonl_scan(path: str):
     """Offset-index a JSONL corpus: returns (ids, line_off, line_len)
     where ids[i] is the document id of the non-empty line at byte range
     [line_off[i], line_off[i]+line_len[i]). The id is the value of the
-    first key among "id"/"docid"/"_id" (JsonlDocstore's preference
-    order), located without a full JSON parse. Native single-pass scan;
-    regex fallback when the library is unavailable."""
+    best TOP-LEVEL key among "id" > "docid" > "_id" (JsonlDocstore's
+    preference order); nested objects' keys never shadow the row id.
+    Native single-pass depth-tracking scan (no JSON parse); json.loads
+    fallback when the library is unavailable."""
     lib = _load()
     if lib is not None:
         n = lib.jsonl_count(path.encode())
@@ -190,20 +188,12 @@ def jsonl_scan(path: str):
         raw = idbuf.raw
         ids = [raw[o: raw.index(b"\0", o)].decode() for o in id_off[:got]]
         return ids, line_off[:got], line_len[:got]
-    # pure-Python fallback: regex id extraction, no json parse per line
-    import re
+    # pure-Python fallback: json.loads per line — slower than the native
+    # scanner but byte-for-byte consistent with JsonlDocstore's key
+    # preference (top-level only; a nested {"meta": {"id": ...}} can
+    # never shadow the row id).
+    import json
 
-    global _ID_RE
-    if _ID_RE is None:
-        # One pattern per key, tried in the same preference order as the
-        # native scanner (id > docid > _id) — a single alternation would
-        # pick whichever key appears FIRST IN THE LINE instead.
-        _ID_RE = [
-            re.compile(
-                rb'[{,\s]"' + k + rb'"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+)'
-            )
-            for k in (b"id", b"docid", b"_id")
-        ]
     ids: List[str] = []
     offs: List[int] = []
     lens: List[int] = []
@@ -211,21 +201,15 @@ def jsonl_scan(path: str):
     with open(path, "rb") as f:
         for line in f:
             if line.strip():
-                m = next(
-                    (m for rx in _ID_RE if (m := rx.search(line))), None
+                d = json.loads(line)
+                row_id = next(
+                    (d[k] for k in ("id", "docid", "_id") if k in d), None
                 )
-                if not m:
+                if row_id is None:
                     raise ValueError(
                         f"{path}: row without an id/docid/_id key"
                     )
-                val = m.group(1)
-                # Quoted ids keep their raw inner span (no unescaping),
-                # matching the native scanner; ids containing JSON
-                # escapes are not supported by the offset index.
-                if val.startswith(b'"'):
-                    ids.append(val[1:-1].decode())
-                else:
-                    ids.append(val.decode())
+                ids.append(str(row_id))
                 offs.append(off)
                 lens.append(len(line))
             off += len(line)

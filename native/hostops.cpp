@@ -147,44 +147,70 @@ int64_t jsonl_count(const char* path) {
   return count;
 }
 
-// Locate the value of key `"<key>"` in a JSON line without a full parse.
-// Returns the id span [out_start, out_start+out_len) inside the line, or
-// 0 when absent. The char before the opening quote must be '{', ',' or
-// whitespace so e.g. "corpus_id" never matches key "id".
-static int find_json_id(const char* line, int64_t len, const char* key,
+// Locate the row's document id — the best of the TOP-LEVEL keys
+// "id" > "docid" > "_id" — without a full JSON parse. A single pass
+// tracks string state and brace/bracket depth, so a nested object's
+// key (e.g. {"docid": "d7", "meta": {"id": 3}}) can never shadow the
+// row id: only depth-1 keys are candidates, exactly like a JSON parse
+// of the top-level object (JsonlDocstore's _row_docid). Returns 1 and
+// the id span [out_start, out_start+out_len) on success, else 0.
+// Only string and integer id values are supported.
+static int find_json_id(const char* line, int64_t len,
                         int64_t* out_start, int64_t* out_len) {
-  int64_t klen = (int64_t)strlen(key);
-  for (int64_t i = 0; i + klen + 2 < len; ++i) {
-    if (line[i] != '"') continue;
-    if (i > 0) {
-      char prev = line[i - 1];
-      if (prev != '{' && prev != ',' && prev != ' ' && prev != '\t') continue;
-    }
-    if (strncmp(line + i + 1, key, (size_t)klen) != 0) continue;
-    if (line[i + 1 + klen] != '"') continue;
-    int64_t p = i + klen + 2;
-    while (p < len && (line[p] == ' ' || line[p] == '\t')) ++p;
-    if (p >= len || line[p] != ':') continue;
-    ++p;
-    while (p < len && (line[p] == ' ' || line[p] == '\t')) ++p;
-    if (p >= len) return 0;
-    if (line[p] == '"') {  // quoted id (skip escaped quotes)
-      int64_t s = ++p;
-      while (p < len && line[p] != '"') p += (line[p] == '\\') ? 2 : 1;
-      if (p > len) return 0;
-      *out_start = s;
-      *out_len = p - s;
-      return 1;
-    }
-    int64_t s = p;  // numeric id
-    while (p < len && (line[p] == '-' || (line[p] >= '0' && line[p] <= '9')))
+  int64_t i = 0;
+  while (i < len && isspace((unsigned char)line[i])) ++i;
+  if (i >= len || line[i] != '{') return 0;
+  ++i;
+  int depth = 1;
+  int expect_key = 1;  // at depth 1: next string is a key (not a value)
+  int best = 99;       // preference rank of the id found so far (0 best)
+  while (i < len && depth > 0) {
+    char c = line[i];
+    if (c == '"') {
+      int64_t s = ++i;  // string body start
+      while (i < len && line[i] != '"') i += (line[i] == '\\') ? 2 : 1;
+      if (i >= len) break;  // unterminated string
+      int64_t slen = i - s;
+      ++i;  // past closing quote
+      if (depth != 1 || !expect_key) continue;
+      int64_t p = i;
+      while (p < len && (line[p] == ' ' || line[p] == '\t')) ++p;
+      if (p >= len || line[p] != ':') continue;  // value string, not a key
+      int rank = 99;
+      if (slen == 2 && strncmp(line + s, "id", 2) == 0) rank = 0;
+      else if (slen == 5 && strncmp(line + s, "docid", 5) == 0) rank = 1;
+      else if (slen == 3 && strncmp(line + s, "_id", 3) == 0) rank = 2;
+      if (rank >= best) continue;
       ++p;
-    if (p == s) return 0;
-    *out_start = s;
-    *out_len = p - s;
-    return 1;
+      while (p < len && (line[p] == ' ' || line[p] == '\t')) ++p;
+      if (p >= len) continue;
+      if (line[p] == '"') {  // quoted id (skip escaped quotes)
+        int64_t vs = ++p;
+        while (p < len && line[p] != '"') p += (line[p] == '\\') ? 2 : 1;
+        if (p > len) continue;
+        *out_start = vs;
+        *out_len = p - vs;
+        best = rank;
+      } else {  // numeric id
+        int64_t vs = p;
+        while (p < len &&
+               (line[p] == '-' || (line[p] >= '0' && line[p] <= '9')))
+          ++p;
+        if (p == vs) continue;
+        *out_start = vs;
+        *out_len = p - vs;
+        best = rank;
+      }
+      if (best == 0) return 1;  // "id" wins outright; stop scanning
+      continue;
+    }
+    if (c == '{' || c == '[') ++depth;
+    else if (c == '}' || c == ']') --depth;
+    else if (depth == 1 && c == ':') expect_key = 0;
+    else if (depth == 1 && c == ',') expect_key = 1;
+    ++i;
   }
-  return 0;
+  return best < 99;
 }
 
 // Pass 2: per non-empty line record (byte offset, byte length) and the
@@ -201,16 +227,14 @@ int64_t jsonl_scan(const char* path, int64_t max_rows,
   size_t cap = 0;
   ssize_t nread;
   int64_t row = 0, off = 0, pos = 0;
-  static const char* kKeys[] = {"id", "docid", "_id"};
   while (row < max_rows && (nread = getline(&line, &cap, f)) != -1) {
     int blank = 1;
     for (ssize_t i = 0; i < nread; ++i) {
       if (!isspace((unsigned char)line[i])) { blank = 0; break; }
     }
     if (!blank) {
-      int64_t s = 0, l = 0, found = 0;
-      for (int k = 0; k < 3 && !found; ++k)
-        found = find_json_id(line, nread, kKeys[k], &s, &l);
+      int64_t s = 0, l = 0;
+      int found = find_json_id(line, nread, &s, &l);
       if (!found) { free(line); fclose(f); return -3; }
       if (pos + l + 1 > idbuf_cap) { free(line); fclose(f); return -2; }
       line_off[row] = off;

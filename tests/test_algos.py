@@ -352,6 +352,35 @@ def test_max_batch_size_split():
     assert max(log) <= 4
 
 
+def test_same_wave_duplicate_requests_dispatch_once():
+    """Memoization must also dedupe duplicates submitted in the SAME
+    wave (parallel tasks racing to the same comparison): the duplicate
+    awaits the in-flight request instead of dispatching a second device
+    row, and both callers see the same outcome."""
+    dispatched = []
+
+    def batch_fn(reqs):
+        dispatched.extend(reqs)
+        return [r * 10 for r in reqs]
+
+    runner = WaveRunner(batch_fn, cache_key=lambda r: r)
+
+    async def task(x):
+        return await runner.compare(x)
+
+    # Four tasks, two distinct keys, all land in one wave.
+    results = runner.run([task(1), task(2), task(1), task(1)])
+    assert results == [10, 20, 10, 10]
+    assert sorted(dispatched) == [1, 2]  # each key hit the device once
+    assert runner.num_cache_hits == 2
+    assert runner.num_waves == 1
+
+    # Later runs still hit the completed-outcome cache: no new dispatch.
+    assert runner.run([task(1)]) == [10]
+    assert sorted(dispatched) == [1, 2]
+    assert runner.num_cache_hits == 3
+
+
 def test_heapsort_comparison_count_parity():
     """The efficiency meters are the Setwise paper's headline claim — the
     wave-batched heapsort must issue exactly the comparisons the
@@ -528,6 +557,34 @@ def test_topdown_finds_topk_in_few_waves():
     assert sorted(got) == sorted(arr)  # nothing lost or duplicated
     # 100 docs: head wave + 1 parallel partition level + small recursion.
     assert td_runner.num_waves <= 8
+
+
+def test_topdown_below_pivot_keeps_head_ranking():
+    """Head-window docs ranked just below the pivot were judged — they
+    must follow the pivot in head-ranked order, ahead of never-judged
+    rest docs, instead of falling back to their retrieval position."""
+
+    def perm_str(window):
+        order = sorted(range(len(window)), key=lambda i: -window[i])
+        return " > ".join(f"[{i+1}]" for i in order)
+
+    runner = WaveRunner(lambda reqs: [perm_str(r) for r in reqs])
+
+    async def compare(window):
+        return await runner.compare(window)
+
+    # Head window = first 5 items; k=2 -> pivot is the head's 2nd best.
+    # 3 and 1 are the head's below-pivot docs; rest docs 2 and 0 are
+    # judged against the pivot (both below). With an oracle comparator
+    # the full output must be the true descending sort — which only
+    # happens when `below` keeps its head ranking after the pivot.
+    arr = [3, 50, 40, 9, 1, 2, 0]
+    got = runner.run(
+        [listwise_window.topdown(runner, list(arr), 2, 5, compare)]
+    )[0]
+    assert got[:2] == [50, 40]
+    # judged below-pivot head docs (9, 3, 1) precede unjudged-order tail
+    assert got == [50, 40, 9, 3, 1, 2, 0]
 
 
 def test_topdown_small_input_single_window():

@@ -110,6 +110,12 @@ def test_jsonl_scan_native_and_fallback(tmp_path):
         # preference order: "id" wins over "_id"/"docid" regardless of
         # which appears first in the line
         {"_id": "wrong", "docid": "alsowrong", "id": "d6", "text": "x"},
+        # nested objects' keys never shadow the top-level row id (the
+        # in-memory JsonlDocstore parses JSON, so the offset index must
+        # agree or auto-switching stores at 256MB would break lookups)
+        {"docid": "d7", "meta": {"id": 3}, "text": "nested id"},
+        {"nested": [{"id": "x"}, {"_id": "y"}], "docid": "d8", "text": "arr"},
+        {"text": 'a string containing "id": fake', "id": "d9"},
     ]
     p = tmp_path / "c.jsonl"
     with open(p, "w") as f:
@@ -125,7 +131,7 @@ def test_jsonl_scan_native_and_fallback(tmp_path):
             native._lib, native._tried = lib, lib is not None
 
     ids_f, off_f, len_f = fallback(str(p))
-    assert ids_f == ["d1", "d2", "d3", "42", "d5", "d6"]
+    assert ids_f == ["d1", "d2", "d3", "42", "d5", "d6", "d7", "d8", "d9"]
     # byte ranges parse back to the right row
     with open(p, "rb") as f:
         for i, r in enumerate(rows):
