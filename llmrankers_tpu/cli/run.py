@@ -504,6 +504,8 @@ def main(args) -> None:
         for stats_list in stats_lists:
             for stats in stats_list:
                 report.add_query(stats)
+        if engine is not None:
+            report.truncated_rows = engine.truncated_rows
     report.print_summary()
     log.emit("run_done", **report.summary())
     log.close()

@@ -92,9 +92,24 @@ class ScoringEngine:
 
             if quantize != "int8":
                 raise ValueError(f"unknown quantize mode {quantize!r}")
-            if kind != "decoder":
-                raise ValueError("weight-only int8 targets decoder models")
-            params = jax.jit(quant_mod.quantize_decoder_params)(params)
+            if kind == "decoder":
+                # Weight-only W8A16: decode is weight-streaming-bound, so
+                # halved weight bytes ~ doubled decode throughput; XLA
+                # fuses the dequant into the matmul producer.
+                params = jax.jit(quant_mod.quantize_decoder_params)(params)
+            else:
+                # T5 scoring is COMPUTE-bound: quantize weights AND route
+                # matmul sites through the Pallas W8A8 int8-MXU kernel
+                # (single-device; multi-device GSPMD meshes keep the
+                # w8a16 dequant path so sharding propagation holds).
+                params = jax.jit(quant_mod.quantize_t5_params)(params)
+                _1chip = mesh is None or mesh.devices.size == 1
+                if (
+                    _1chip
+                    and jax.default_backend() == "tpu"
+                    and os.environ.get("LLMRANKERS_NO_INT8_KERNEL") != "1"
+                ):
+                    cfg = dataclasses.replace(cfg, int8_kernel=True)
         if kv_quantize is not None:
             if kv_quantize != "int8":
                 raise ValueError(f"unknown kv_quantize mode {kv_quantize!r}")
@@ -106,6 +121,10 @@ class ScoringEngine:
         self.spec_lookup = int(spec_lookup)
         # accept-rate observability: totals over this engine's lifetime
         self.spec_stats = {"tokens": 0, "rounds": 0}
+        # context-cap observability: rows whose real tokens were cut to
+        # the model context over this engine's lifetime (the warn-once
+        # stderr line is a courtesy; this counter is the record)
+        self.truncated_rows = 0
 
         _mesh_size = 1 if mesh is None else mesh.devices.size
         # Flash policy, measured on v5e (see docs/ARCHITECTURE.md §4):
@@ -165,7 +184,12 @@ class ScoringEngine:
             collections.OrderedDict()
         )
         self._adapter_lock = threading.Lock()
+        self._adapter_merging: Dict[str, Any] = {}  # name -> threading.Event
         self._max_cached_adapters = max(1, int(max_cached_adapters))
+        # Observability counters are mutated from cohort/server threads;
+        # a dedicated lock keeps them exact (they never sit on the
+        # device-dispatch path, so contention is negligible).
+        self._stats_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # Multi-adapter serving
@@ -182,7 +206,9 @@ class ScoringEngine:
         from ..models import quant as quant_mod
         from ..train import lora as lora_mod
 
-        if quant_mod.is_quantized(self.params):
+        if quant_mod.is_quantized(self.params) or quant_mod.is_quantized_t5(
+            self.params
+        ):
             raise ValueError(
                 "cannot apply LoRA adapters to int8-quantized weights; "
                 "merge the adapter first, then quantize"
@@ -203,25 +229,53 @@ class ScoringEngine:
         # buffers — another thread may hold the evicted pytree inside a
         # running dispatch. Dropping the reference lets JAX free the HBM
         # after the last pending use instead.
-        with self._adapter_lock:
-            if adapter not in self._adapter_params:
-                from ..train import lora as lora_mod
+        #
+        # The full-model merge jit is multi-second work: it runs OUTSIDE
+        # the lock behind a per-adapter once-guard, so other adapters'
+        # scoring threads never serialize behind a re-materialization;
+        # concurrent requests for the SAME evicted adapter wait on its
+        # event instead of merging twice.
+        import threading
 
-                try:
-                    raw, lcfg = self._adapters[adapter]
-                except KeyError:
-                    raise KeyError(
-                        f"unknown adapter {adapter!r}; registered: "
-                        f"{sorted(self._adapters)}"
-                    ) from None
+        while True:
+            with self._adapter_lock:
+                cached = self._adapter_params.get(adapter)
+                if cached is not None:
+                    self._adapter_params.move_to_end(adapter)
+                    return cached
+                ev = self._adapter_merging.get(adapter)
+                if ev is None:
+                    ev = threading.Event()
+                    self._adapter_merging[adapter] = ev
+                    break  # this thread owns the merge
+            ev.wait()  # merge in flight elsewhere; re-check the cache
+        try:
+            from ..train import lora as lora_mod
+
+            try:
+                raw, lcfg = self._adapters[adapter]
+            except KeyError:
+                raise KeyError(
+                    f"unknown adapter {adapter!r}; registered: "
+                    f"{sorted(self._adapters)}"
+                ) from None
+            merged = jax.jit(functools.partial(lora_mod.merge, cfg=lcfg))(
+                self.params, raw
+            )
+            sharded = mesh_mod.shard_params(merged, self._pspecs, self.mesh)
+            with self._adapter_lock:
                 while len(self._adapter_params) >= self._max_cached_adapters:
                     self._adapter_params.popitem(last=False)
-                merged = jax.jit(functools.partial(lora_mod.merge, cfg=lcfg))(self.params, raw)
-                self._adapter_params[adapter] = mesh_mod.shard_params(
-                    merged, self._pspecs, self.mesh
-                )
-            self._adapter_params.move_to_end(adapter)
-            return self._adapter_params[adapter]
+                self._adapter_params[adapter] = sharded
+            # Return the merged pytree directly: even if another thread's
+            # insert immediately evicts it, this dispatch keeps its
+            # reference alive (max_cached_adapters below the working set
+            # degrades to a re-merge per flip, never to an error).
+            return sharded
+        finally:
+            with self._adapter_lock:
+                self._adapter_merging.pop(adapter, None)
+            ev.set()
 
     # ------------------------------------------------------------------
     # Host-side padding/bucketing
@@ -240,6 +294,10 @@ class ScoringEngine:
         n = len(rows)
         max_len = max((len(r) for r in rows), default=1)
         L = self._cap_len(_bucket(max_len, self.len_buckets), max_len)
+        if L < max_len:  # context cap hit: count every truncated row
+            cut = sum(1 for r in rows if len(r) > L)
+            with self._stats_lock:
+                self.truncated_rows += cut
         B = _bucket(n, self.batch_buckets)
         if b_cap is not None and B > b_cap:
             B = max(n, b_cap)
@@ -707,6 +765,11 @@ class ScoringEngine:
         done = jnp.zeros((B,), bool)
         hist_d = jax.device_put(jnp.asarray(hist), self._data_sharding)
         rows_out: List[List[int]] = [[] for _ in range(B)]
+        # Accumulate accept-rate stats per call, merged under the stats
+        # lock at the end: generate() runs concurrently from cohort and
+        # server threads, and bare += on the shared dict loses updates.
+        local_tokens = 0
+        local_rounds = 0
         while True:
             outs, counts, (tok, cache, hist_d, wp, done_dev) = fn(
                 pp, tok, cache, hist_d, wp, done
@@ -723,8 +786,8 @@ class ScoringEngine:
                     # up to K extra tokens that are never emitted.
                     kept = min(cnt, max(0, max_new_tokens - len(rows_out[b])))
                     if kept:
-                        self.spec_stats["tokens"] += kept
-                        self.spec_stats["rounds"] += 1
+                        local_tokens += kept
+                        local_rounds += 1
                     rows_out[b].extend(outs_h[b, r, :cnt].tolist())
             newly = self._host_freeze(
                 np.asarray(done_dev), lambda i: rows_out[i], n, B,
@@ -733,6 +796,9 @@ class ScoringEngine:
             if all(newly):
                 break
             done = jnp.asarray(np.asarray(newly, bool))
+        with self._stats_lock:
+            self.spec_stats["tokens"] += local_tokens
+            self.spec_stats["rounds"] += local_rounds
         out = np.full((n, max_new_tokens), self.tokenizer.pad_id, np.int32)
         for i in range(n):
             row = rows_out[i][:max_new_tokens]

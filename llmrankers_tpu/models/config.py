@@ -38,6 +38,10 @@ class T5Config:
     # Mesh for shard_map'd flash under TP/DP (hashable; set by the engine
     # alongside use_flash when the mesh spans >1 device).
     flash_mesh: Optional[Any] = None
+    # Route quantized matmul sites through the Pallas W8A8 int8-MXU
+    # kernel (set by the engine for single-device TPU when
+    # quantize='int8'; multi-device GSPMD uses the w8a16 dequant path).
+    int8_kernel: bool = False
 
     @property
     def is_gated(self) -> bool:

@@ -29,6 +29,62 @@ from .config import T5Config
 
 Params = Dict[str, Any]
 
+_SCALE_SUFFIX = "_scale"  # models/quant.py convention
+
+
+def _mm(lp: Params, name: str, x: jax.Array, cfg: T5Config) -> jax.Array:
+    """One per-layer matmul site, dispatching on quantization state:
+      * no ``<name>_scale`` leaf -> plain bf16 matmul;
+      * quantized + ``cfg.int8_kernel`` -> Pallas W8A8 int8-MXU kernel
+        (dynamic per-token activation quantization; ~1.5x the bf16
+        roofline on v5e, ops/int8_matmul.py);
+      * quantized otherwise -> XLA w8a16 dequant, fused into the matmul
+        producer (multi-device/GSPMD-safe fallback; weight HBM halves
+        but the MXU stays bf16).
+    """
+    w = lp[name]
+    s = lp.get(name + _SCALE_SUFFIX)
+    if s is None:
+        return x @ w
+    if cfg.int8_kernel and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0:
+        from ..ops.int8_matmul import quantized_matmul
+
+        return quantized_matmul(
+            x, w, s, interpret=jax.default_backend() != "tpu"
+        )
+    return x @ (w.astype(x.dtype) * s.astype(x.dtype))
+
+
+def _mm_fused(lp: Params, names, x: jax.Array, cfg: T5Config):
+    """Several matmul sites sharing one input, as ONE wide GEMM on the
+    kernel path: q/k/v (and the gated wi pair) concatenate along the
+    output axis, so the activation is quantized once and the kernel
+    runs at its wide-N sweet spot (the int8 MXU measures 155-210
+    TFLOP/s at [.., 2048] x [2048, 6144+] vs ~85 on the square per-head
+    shapes — docs/ARCHITECTURE.md). The per-layer concat of int8
+    weights is a ~12MB VMEM-speed copy (~15us), dwarfed by the GEMM.
+    Falls back to independent ``_mm`` calls off the kernel path."""
+    kernel_ok = (
+        cfg.int8_kernel
+        and all(lp.get(n + _SCALE_SUFFIX) is not None for n in names)
+        and all(lp[n].shape[0] % 128 == 0 for n in names)
+        and all(lp[n].shape[1] % 128 == 0 for n in names)
+    )
+    if not kernel_ok:
+        return tuple(_mm(lp, n, x, cfg) for n in names)
+    from ..ops.int8_matmul import quantized_matmul
+
+    w = jnp.concatenate([lp[n] for n in names], axis=1)
+    s = jnp.concatenate([lp[n + _SCALE_SUFFIX] for n in names], axis=1)
+    out = quantized_matmul(x, w, s, interpret=jax.default_backend() != "tpu")
+    sizes = [lp[n].shape[1] for n in names]
+    offs = [0]
+    for sz in sizes:
+        offs.append(offs[-1] + sz)
+    return tuple(
+        out[..., offs[i]: offs[i + 1]] for i in range(len(names))
+    )
+
 
 # ---------------------------------------------------------------------------
 # Relative position bias
@@ -102,21 +158,29 @@ def _attn(
     bias: Optional[jax.Array],
     causal: bool = False,
 ) -> jax.Array:
-    q = _split_heads(x @ lp[prefix + "q"], cfg.num_heads)
-    k = _split_heads(kv_src @ lp[prefix + "k"], cfg.num_heads)
-    v = _split_heads(kv_src @ lp[prefix + "v"], cfg.num_heads)
+    if kv_src is x:  # self-attention: one fused qkv GEMM
+        qp, kp, vp = _mm_fused(
+            lp, (prefix + "q", prefix + "k", prefix + "v"), x, cfg
+        )
+    else:
+        qp = _mm(lp, prefix + "q", x, cfg)
+        kp, vp = _mm_fused(lp, (prefix + "k", prefix + "v"), kv_src, cfg)
+    q = _split_heads(qp, cfg.num_heads)
+    k = _split_heads(kp, cfg.num_heads)
+    v = _split_heads(vp, cfg.num_heads)
     out = mha(q, k, v, kv_mask=kv_mask, causal=causal, bias=bias, scale=1.0,
               use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
-    return _merge_heads(out) @ lp[prefix + "o"]
+    return _mm(lp, prefix + "o", _merge_heads(out), cfg)
 
 
 def _ffn(lp: Params, cfg: T5Config, x: jax.Array) -> jax.Array:
     if cfg.is_gated:
         act = gelu_new if cfg.act_fn == "gelu_new" else jax.nn.relu
-        h = act(x @ lp["wi_0"]) * (x @ lp["wi_1"])
+        h0, h1 = _mm_fused(lp, ("wi_0", "wi_1"), x, cfg)
+        h = act(h0) * h1
     else:
-        h = jax.nn.relu(x @ lp["wi"])
-    return h @ lp["wo"]
+        h = jax.nn.relu(_mm(lp, "wi", x, cfg))
+    return _mm(lp, "wo", h, cfg)
 
 
 def encode(
@@ -179,12 +243,13 @@ def decode_hidden(
 
 
 def _cross_attn(lp, cfg, x, enc_out, enc_mask):
-    q = _split_heads(x @ lp["cq"], cfg.num_heads)
-    k = _split_heads(enc_out @ lp["ck"], cfg.num_heads)
-    v = _split_heads(enc_out @ lp["cv"], cfg.num_heads)
+    kp, vp = _mm_fused(lp, ("ck", "cv"), enc_out, cfg)
+    q = _split_heads(_mm(lp, "cq", x, cfg), cfg.num_heads)
+    k = _split_heads(kp, cfg.num_heads)
+    v = _split_heads(vp, cfg.num_heads)
     out = mha(q, k, v, kv_mask=enc_mask, bias=None, scale=1.0,
               use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
-    return _merge_heads(out) @ lp["co"]
+    return _mm(lp, "co", _merge_heads(out), cfg)
 
 
 def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:

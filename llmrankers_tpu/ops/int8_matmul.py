@@ -1,0 +1,173 @@
+"""Pallas TPU int8 x int8 MXU matmul for quantized scoring (W8A8).
+
+Why this exists: the flan-t5-xl setwise bench is COMPUTE-bound — the bf16
+batched engine measures ~0.55-0.6 MFU, i.e. near the bf16 MXU roofline —
+so the only remaining single-chip throughput lever is precision: the v5e
+MXU's int8 path has ~2x the bf16 peak (394 vs 197 TOPS). XLA will not
+take it from jnp.dot on int8 operands (measured ~8 TFLOP/s — a VPU
+lowering), and XLA-level dequantization keeps the matmul in bf16
+(measured ~108 TFLOP/s, the bf16 roofline). Mosaic DOES lower an int8
+jnp.dot inside a Pallas kernel to the native int8 MXU op: this kernel
+measures ~165 TFLOP/s on the xl encoder GEMM shapes — 1.5x the bf16
+path (see docs/ARCHITECTURE.md int8 section for the sweep).
+
+Recipe (standard W8A8 dynamic quantization):
+  * weights: symmetric per-OUTPUT-CHANNEL int8, quantized once at load
+    (models/quant.py), stored [K, N] int8 + [1, N] f32 scales;
+  * activations: symmetric per-ROW (= per-token) int8, quantized
+    dynamically right before the matmul (cheap fused VPU work);
+  * kernel: int8 x int8 -> int32 accumulation on the MXU, K-blocked
+    into a VMEM scratch accumulator, with the row*col rescale to the
+    output dtype fused into the final K-step epilogue (so only 2-byte
+    outputs ever cross HBM).
+
+The reference reaches the same class of optimization by delegating to
+fp16 HF / vLLM quantization (/root/reference/llmrankers/setwise.py:46-50);
+here it is a first-party TPU kernel.
+
+Sharding: the kernel is invoked per-device. Multi-device TP callers go
+through the XLA w8a16 dequant path instead (models/t5.py::_mm) so GSPMD
+keeps propagating shardings; the single-chip bench path takes the kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _largest_divisor(n: int, cap: int, step: int = 128) -> int:
+    """Largest multiple of ``step`` that divides ``n`` and is <= cap.
+    Returns 0 when none exists (caller falls back to XLA)."""
+    best = 0
+    t = step
+    while t <= min(n, cap):
+        if n % t == 0:
+            best = t
+        t += step
+    return best
+
+
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-row int8 quantization: [M, K] -> (int8
+    values [M, K], f32 scales [M, 1]). Pure VPU work; XLA fuses it into
+    the producing op."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn_cap", "bk_cap", "interpret")
+)
+def int8_matmul(
+    x8: jax.Array,  # [M, K] int8
+    sx: jax.Array,  # [M, 1] f32 row scales
+    w8: jax.Array,  # [K, N] int8
+    sw: jax.Array,  # [1, N] f32 column scales
+    out_dtype=jnp.bfloat16,
+    bm: int = 256,
+    bn_cap: int = 2048,
+    bk_cap: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """[M, K] @ [K, N] on the int8 MXU -> [M, N] ``out_dtype``.
+
+    M is padded up to a ``bm`` multiple (pad rows sliced off); K and N
+    must admit 128-multiple block divisors (every T5/decoder GEMM here
+    does — all dims are 128-multiples) or the caller should use the XLA
+    dequant fallback. Block defaults are the measured sweep optimum on
+    v5e (BM=256, BN=2048, full-K blocks up to 2048).
+    """
+    M, K = x8.shape
+    N = w8.shape[1]
+    bn = _largest_divisor(N, bn_cap)
+    bk = _largest_divisor(K, bk_cap)
+    if bn == 0 or bk == 0:
+        raise ValueError(
+            f"int8_matmul needs 128-multiple divisible K/N, got {K}x{N}"
+        )
+    # VMEM guard: double-buffered input tiles + int32 acc scratch +
+    # double-buffered out tile. Shrink bm first: on this chip the
+    # (bm=256, bk=2048, bn=1024) combo Mosaic produces for shrunken-bn
+    # square shapes is pathologically slow (61ms vs 1.6ms — see
+    # docs/ARCHITECTURE.md int8 sweep), while halving bm stays fast.
+    def _vmem(bm_, bn_):
+        return 2 * (bm_ * bk + bk * bn_) + 4 * bm_ * bn_ + 4 * bm_ * bn_
+
+    while bm > 128 and _vmem(bm, bn) > 14 * 2**20:
+        bm //= 2
+    while bn > 128 and _vmem(bm, bn) > 14 * 2**20:
+        bn //= 2
+    pad = (-M) % bm
+    if pad:
+        x8 = jnp.pad(x8, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)))
+    Mp = M + pad
+    nk = K // bk
+    out = pl.pallas_call(
+        functools.partial(_kernel, nk=nk),
+        grid=(Mp // bm, N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x8, w8, sx, sw)
+    return out[:M] if pad else out
+
+
+def quantized_matmul(
+    x: jax.Array,  # [..., K] bf16/f32 activations
+    w8: jax.Array,  # [K, N] int8
+    sw: jax.Array,  # [1, N] weight column scales
+    interpret: bool = False,
+) -> jax.Array:
+    """Dynamic-activation W8A8 matmul over arbitrary leading dims."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    x8, sx = quantize_rows(x2)
+    out = int8_matmul(
+        x8, sx, w8, sw.astype(jnp.float32),
+        out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
+        interpret=interpret,
+    )
+    return out.reshape(*lead, -1)

@@ -66,6 +66,15 @@ def t5_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         if dec:
             specs["ln3"] = P(None, None)
             specs.update({("c" + k): v for k, v in attn_specs().items()})
+        # int8 quantization: per-output-channel scales [L, 1, out] shard
+        # along the same axis as the weight's output dim.
+        for name in list(specs):
+            sk = name + "_scale"
+            if sk in layers:
+                w_spec = specs[name]
+                specs[sk] = P(
+                    None, None, w_spec[2] if len(w_spec) == 3 else None
+                )
         return specs
 
     specs: Dict[str, Any] = {

@@ -173,6 +173,7 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                     "compiled_programs": len(
                         getattr(eng, "_jit_cache", ())
                     ),
+                    "truncated_rows": getattr(eng, "truncated_rows", 0),
                 })
             else:
                 self._send(404, {"error": "not found"})

@@ -21,6 +21,9 @@ class MeterReport:
     n_queries: int = 0
     total: RerankStats = field(default_factory=RerankStats)
     wall_s: float = 0.0
+    # rows whose real tokens were cut to the model context this run
+    # (ScoringEngine.truncated_rows delta; 0 when no engine is in play)
+    truncated_rows: int = 0
 
     def add_query(self, stats: RerankStats) -> None:
         self.n_queries += 1
@@ -33,6 +36,7 @@ class MeterReport:
             "avg_prompt_tokens": self.total.prompt_tokens / n,
             "avg_completion_tokens": self.total.completion_tokens / n,
             "avg_time_per_query_s": self.wall_s / n,
+            "truncated_rows": self.truncated_rows,
         }
 
     def print_summary(self) -> None:
@@ -42,6 +46,10 @@ class MeterReport:
         print(f"Avg prompt tokens: {s['avg_prompt_tokens']}")
         print(f"Avg completion tokens: {s['avg_completion_tokens']}")
         print(f"Avg time per query: {s['avg_time_per_query_s']}")
+        # Extra line only when the context cap actually cut tokens, so
+        # the reference-format four-line contract holds otherwise.
+        if self.truncated_rows:
+            print(f"Truncated rows: {self.truncated_rows}")
 
 
 class EventLog:

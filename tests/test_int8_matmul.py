@@ -1,0 +1,102 @@
+"""Pallas W8A8 int8-MXU matmul kernel (ops/int8_matmul.py).
+
+CPU runs the kernel in interpreter mode (same dataflow, no Mosaic);
+on-TPU numerics + throughput are exercised by bench.py's int8 section.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmrankers_tpu.ops.int8_matmul import (
+    int8_matmul,
+    quantize_rows,
+    quantized_matmul,
+)
+
+
+def test_int8_matmul_exact_integer_math():
+    """int8 x int8 -> int32 is exact; the f32 rescale is deterministic.
+    M=200 exercises the pad-to-bm path (pad rows sliced off)."""
+    rng = np.random.RandomState(0)
+    M, K, N = 200, 256, 384
+    x8 = rng.randint(-127, 128, (M, K)).astype(np.int8)
+    w8 = rng.randint(-127, 128, (K, N)).astype(np.int8)
+    sx = rng.rand(M, 1).astype(np.float32) * 0.1
+    sw = rng.rand(1, N).astype(np.float32) * 0.1
+    out = int8_matmul(
+        jnp.asarray(x8), jnp.asarray(sx), jnp.asarray(w8), jnp.asarray(sw),
+        out_dtype=jnp.float32, interpret=True,
+    )
+    ref = (x8.astype(np.int64) @ w8.astype(np.int64)).astype(np.float32)
+    ref = ref * sx * sw
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+
+def test_quantize_rows_roundtrip():
+    rng = np.random.RandomState(1)
+    x = rng.randn(64, 128).astype(np.float32) * rng.rand(64, 1) * 10
+    q, s = quantize_rows(jnp.asarray(x))
+    assert q.dtype == jnp.int8
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    assert np.abs(back - x).max() <= np.abs(x).max(1).max() / 127 + 1e-6
+    # zero rows stay finite
+    q0, s0 = quantize_rows(jnp.zeros((4, 128)))
+    assert np.all(np.asarray(q0) == 0) and np.all(np.isfinite(np.asarray(s0)))
+
+
+def test_quantized_matmul_error_bound():
+    """Dynamic per-row activation + per-channel weight int8: ~1% relative
+    error on gaussian data."""
+    rng = np.random.RandomState(2)
+    M, K, N = 160, 256, 256
+    x = rng.randn(M, K).astype(np.float32)
+    w = rng.randn(K, N).astype(np.float32)
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    sw = amax / 127.0
+    w8 = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    got = quantized_matmul(
+        jnp.asarray(x), jnp.asarray(w8), jnp.asarray(sw), interpret=True
+    )
+    ref = x @ w
+    rel = np.abs(np.asarray(got) - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+
+
+def test_int8_matmul_rejects_untileable():
+    with pytest.raises(ValueError, match="divisible"):
+        int8_matmul(
+            jnp.zeros((8, 100), jnp.int8), jnp.zeros((8, 1), jnp.float32),
+            jnp.zeros((100, 96), jnp.int8), jnp.zeros((1, 96), jnp.float32),
+            interpret=True,
+        )
+
+
+def test_t5_forward_int8_kernel_path_matches_bf16():
+    """Full T5 forward through the fused W8A8 kernel path (interpret on
+    CPU): label winners match the unquantized forward and logits stay
+    close. 128-multiple dims so every site takes the kernel."""
+    import dataclasses
+
+    from llmrankers_tpu.models import quant as quant_mod
+    from llmrankers_tpu.models import t5 as t5_mod
+    from llmrankers_tpu.models.config import T5Config
+
+    cfg = T5Config(
+        vocab_size=512, d_model=128, d_kv=32, d_ff=256,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+    )
+    params = t5_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quant_mod.quantize_t5_params(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 512)
+    mask = jnp.ones_like(ids)
+    dec = jnp.zeros((2, 1), jnp.int32)
+    ref = np.asarray(t5_mod.forward(params, cfg, ids, mask, dec)[:, -1])
+    cfg_k = dataclasses.replace(cfg, int8_kernel=True)
+    got = np.asarray(t5_mod.forward(qp, cfg_k, ids, mask, dec)[:, -1])
+    assert (ref.argmax(-1) == got.argmax(-1)).all()
+    cos = (ref * got).sum() / (
+        np.linalg.norm(ref) * np.linalg.norm(got) + 1e-9
+    )
+    assert cos > 0.999, cos

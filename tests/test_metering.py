@@ -19,16 +19,23 @@ def test_meter_report_averages(capsys):
         "avg_prompt_tokens": 200.0,
         "avg_completion_tokens": 30.0,
         "avg_time_per_query_s": 2.0,
+        "truncated_rows": 0,
     }
     rep.print_summary()
     out = capsys.readouterr().out.splitlines()
-    # The reference driver's exact four lines (run.py:198-201).
+    # The reference driver's exact four lines (run.py:198-201); the
+    # truncation line appears ONLY when the context cap cut tokens.
     assert out == [
         "Avg comparisons: 15.0",
         "Avg prompt tokens: 200.0",
         "Avg completion tokens: 30.0",
         "Avg time per query: 2.0",
     ]
+    rep.truncated_rows = 7
+    rep.print_summary()
+    out = capsys.readouterr().out.splitlines()
+    assert out[-1] == "Truncated rows: 7"
+    assert rep.summary()["truncated_rows"] == 7
 
 
 def test_meter_report_empty_is_safe():

@@ -160,5 +160,11 @@ def test_group_falls_back_when_combined_length_exceeds_context():
     short = [prefix[:40] + list(range(210, 260 + i)) for i in range(4)]
     assert eng._group(short) is not None  # under the cap: still groups
     # End-to-end: generation works (truncated to context on the plain path).
+    assert eng.truncated_rows == 0
     texts, ntoks = eng.generate(rows, max_new_tokens=4)
     assert len(texts) == 4
+    # Observability: every context-cut row is counted, not just warned
+    # about once (meters expose the count via MeterReport/serve /stats).
+    assert eng.truncated_rows == 4
+    eng.generate(rows[:2], max_new_tokens=4)
+    assert eng.truncated_rows == 6

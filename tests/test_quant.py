@@ -82,12 +82,26 @@ def test_quantized_on_mesh(tiny):
     assert np.all(np.isfinite(out))
 
 
-def test_quantize_rejects_t5():
+def test_t5_engine_int8_scores_match_bf16():
+    """quantize='int8' for kind='t5' (round 3): weights quantize to the
+    W8A8 layout and scoring stays decision-consistent with the bf16
+    engine. On CPU the engine keeps int8_kernel=False (w8a16 dequant
+    path); the Pallas kernel itself is covered by test_int8_matmul."""
+    from llmrankers_tpu.models import quant as quant_mod
     from llmrankers_tpu.models import t5 as t5_mod
     from llmrankers_tpu.models.config import T5Config
 
     cfg = T5Config.tiny()
     params = t5_mod.init_params(cfg, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="decoder"):
-        ScoringEngine("t5", cfg, params, ByteTokenizer(cfg.vocab_size),
+    base = ScoringEngine("t5", cfg, params, ByteTokenizer(cfg.vocab_size))
+    q = ScoringEngine("t5", cfg, params, ByteTokenizer(cfg.vocab_size),
                       quantize="int8")
+    assert quant_mod.is_quantized_t5(q.params)
+    assert not q.cfg.int8_kernel  # CPU backend: dequant fallback path
+    rows = [list(range(2, 30 + i)) for i in range(4)]
+    labels = [5, 6, 7]
+    a = np.asarray(base.score_labels(rows, labels))
+    b = np.asarray(q.score_labels(rows, labels))
+    # int8 weights perturb logits slightly; winners must agree.
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+    np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15)
