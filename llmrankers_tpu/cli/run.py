@@ -97,9 +97,17 @@ def build_parsers():
                        choices=["bfloat16", "float32"])
     run_p.add_argument("--quantize", type=str, default=None,
                        choices=["int8"],
-                       help="weight-only int8 for decoder models (halves "
-                            "weight HBM; ~2x decode throughput at serving "
-                            "batch sizes)")
+                       help="int8 quantization. Decoder models: weight-only "
+                            "W8A16 (halves weight HBM; ~2x decode throughput "
+                            "at serving batch sizes). T5 models: W8A8 via "
+                            "the Pallas int8-MXU kernel on single-chip TPU "
+                            "(the compute-bound scoring path runs on the "
+                            "2x-peak int8 systolic path)")
+    run_p.add_argument("--max_cached_adapters", type=int, default=1,
+                       help="merged LoRA weight copies kept on device; "
+                            "raise to the serving working set when "
+                            "alternating adapters (each copy costs a full "
+                            "model's HBM)")
     run_p.add_argument("--kv_quantize", type=str, default=None,
                        choices=["int8"],
                        help="int8 KV cache for decoder models (halves the "
@@ -268,7 +276,9 @@ def make_engine(run_args, lora_path=None):
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
                          quantize=run_args.quantize,
                          kv_quantize=run_args.kv_quantize,
-                         spec_lookup=run_args.spec_lookup, **extra)
+                         spec_lookup=run_args.spec_lookup,
+                         max_cached_adapters=run_args.max_cached_adapters,
+                         **extra)
 
 
 def make_ranker(args, engine):

@@ -47,6 +47,10 @@ class _Job:
         self.result: Optional[List[SearchResult]] = None
         self.stats: Optional[Dict[str, int]] = None
         self.error: Optional[str] = None
+        # Set by the HTTP handler when its client stopped waiting (504):
+        # the batching loop drops cancelled jobs before dispatching their
+        # group, so abandoned requests never reach the device.
+        self.cancelled = False
 
 
 class RerankService:
@@ -54,22 +58,37 @@ class RerankService:
 
     def __init__(self, ranker: LlmRanker, max_batch: int = 64,
                  window_ms: float = 5.0, adapters: Optional[List[str]] = None,
-                 request_timeout_s: Optional[float] = None):
+                 request_timeout_s: Optional[float] = None,
+                 max_queue: Optional[int] = None):
         self.ranker = ranker
         self.adapters = set(adapters or ())
         self.request_timeout_s = request_timeout_s  # None = wait forever
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
-        self.queue: "queue.Queue[_Job]" = queue.Queue()
+        # Bounded queue = backpressure: when more than max_queue jobs are
+        # waiting the server answers 429 instead of queueing unboundedly
+        # and burning device time on clients that will time out anyway.
+        if max_queue is None:
+            max_queue = 4 * max_batch
+        self.max_queue = max_queue
+        self.queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self.served = 0
+        self.rejected = 0  # 429s (queue full)
+        self.cancelled_skipped = 0  # jobs dropped before device dispatch
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, query: str, ranking: List[SearchResult],
-               adapter: Optional[str] = None) -> _Job:
+               adapter: Optional[str] = None) -> Optional[_Job]:
+        """Enqueue a job, or return None when the queue is full (the
+        caller answers 429)."""
         job = _Job(query, ranking, adapter)
-        self.queue.put(job)
+        try:
+            self.queue.put_nowait(job)
+        except queue.Full:
+            self.rejected += 1
+            return None
         return job
 
     def shutdown(self, wait: bool = False) -> None:
@@ -102,6 +121,16 @@ class RerankService:
                     jobs.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # Cancelled jobs (client already 504'd away) are dropped here,
+            # before any device work happens on their behalf.
+            live = []
+            for j in jobs:
+                if j.cancelled:
+                    self.cancelled_skipped += 1
+                    j.done.set()
+                else:
+                    live.append(j)
+            jobs = live
             # Jobs for the same adapter share device waves; different
             # adapters run as separate dispatches (merged weights are
             # cached per adapter by the engine — vLLM LoRARequest parity).
@@ -109,6 +138,18 @@ class RerankService:
             for j in jobs:
                 groups.setdefault(j.adapter, []).append(j)
             for adapter, grp in groups.items():
+                # Re-check right before dispatch: earlier groups in this
+                # window may have run for seconds.
+                fresh = []
+                for j in grp:
+                    if j.cancelled:
+                        self.cancelled_skipped += 1
+                        j.done.set()
+                    else:
+                        fresh.append(j)
+                grp = fresh
+                if not grp:
+                    continue
                 try:
                     if hasattr(self.ranker, "adapter"):
                         self.ranker.adapter = adapter
@@ -161,6 +202,10 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                             or {"tokens": 0, "rounds": 0})
                 self._send(200, {
                     "served": service.served,
+                    "rejected": service.rejected,
+                    "cancelled_skipped": service.cancelled_skipped,
+                    "queue_depth": service.queue.qsize(),
+                    "max_queue": service.max_queue,
                     "adapters": sorted(service.adapters),
                     "model_kind": getattr(eng, "kind", "unknown"),
                     "spec_lookup": getattr(eng, "spec_lookup", 0),
@@ -210,9 +255,14 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                 for i, t in enumerate(texts)
             ]
             job = service.submit(query, ranking, req.get("adapter"))
+            if job is None:  # bounded queue full: shed load
+                self._send(429, {"error": "server overloaded, retry later"})
+                return
             if not job.done.wait(timeout=service.request_timeout_s):
-                # The job stays queued/running; the batching loop will
-                # finish and discard it — the client just stops waiting.
+                # Mark cancelled so the batching loop drops it before its
+                # group dispatches; if dispatch already started, the work
+                # completes but the client has stopped waiting.
+                job.cancelled = True
                 self._send(504, {"error": "rerank timed out"})
                 return
             if job.error:
@@ -252,6 +302,9 @@ def main() -> None:
     serve_p.add_argument("--host", type=str, default="127.0.0.1")
     serve_p.add_argument("--max_batch", type=int, default=64)
     serve_p.add_argument("--window_ms", type=float, default=5.0)
+    serve_p.add_argument("--max_queue", type=int, default=None,
+                         help="bound on queued jobs before 429s "
+                              "(default 4*max_batch)")
     serve_p.add_argument("--adapter", action="append", default=[],
                          metavar="NAME=PEFT_DIR",
                          help="register a LoRA adapter; requests select it "
@@ -298,7 +351,8 @@ def main() -> None:
         print(f"warmup done in {_time.time() - t0:.1f}s", flush=True)
     service = RerankService(ranker, serve_args.max_batch, serve_args.window_ms,
                             adapters=adapter_names,
-                            request_timeout_s=serve_args.request_timeout)
+                            request_timeout_s=serve_args.request_timeout,
+                            max_queue=serve_args.max_queue)
     server = ThreadingHTTPServer(
         (serve_args.host, serve_args.port), make_handler(service, top_n)
     )

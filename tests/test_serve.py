@@ -169,3 +169,67 @@ def test_request_timeout_504():
         assert e.code == 504
     assert time.time() - t0 < 1.5  # bounded well below the 2s batch
     srv.shutdown()
+
+
+def test_overload_429_and_bounded_queue():
+    """With the queue bound hit, submits shed load as 429 instead of
+    growing without bound."""
+    import time
+
+    from llmrankers_tpu.types import SearchResult
+
+    class BlockingRanker:
+        release = threading.Event()
+
+        def rerank_many(self, queries, rankings, on_result=None):
+            self.release.wait(timeout=10)
+            return [list(r) for r in rankings]
+
+    ranker = BlockingRanker()
+    service = RerankService(ranker, max_batch=1, window_ms=1.0, max_queue=2)
+    docs = [SearchResult("0", 0.0, "x")]
+    jobs = [service.submit(f"q{i}", list(docs)) for i in range(8)]
+    # First job may already be in the dispatch loop; at most 1 (running)
+    # + 2 (queued) are accepted, the rest must be rejected with None.
+    accepted = [j for j in jobs if j is not None]
+    rejected = [j for j in jobs if j is None]
+    assert len(rejected) >= 5, (len(accepted), len(rejected))
+    assert service.rejected == len(rejected)
+    ranker.release.set()
+    for j in accepted:
+        assert j.done.wait(timeout=10)
+    service.shutdown()
+
+
+def test_cancelled_job_never_dispatches():
+    """A job whose client timed out (cancelled) is dropped before its
+    group reaches the ranker."""
+    import time
+
+    from llmrankers_tpu.types import SearchResult
+
+    dispatched = []
+    gate = threading.Event()
+
+    class GatedRanker:
+        def rerank_many(self, queries, rankings, on_result=None):
+            dispatched.extend(queries)
+            gate.wait(timeout=10)
+            return [list(r) for r in rankings]
+
+    service = RerankService(GatedRanker(), max_batch=1, window_ms=1.0)
+    docs = [SearchResult("0", 0.0, "x")]
+    j1 = service.submit("first", list(docs))   # occupies the loop
+    # Wait until j1 is actually dispatched so j2 stays queued.
+    for _ in range(100):
+        if dispatched:
+            break
+        time.sleep(0.01)
+    j2 = service.submit("second", list(docs))
+    j2.cancelled = True  # what the 504 handler does
+    gate.set()
+    assert j1.done.wait(timeout=10) and j1.error is None
+    assert j2.done.wait(timeout=10)
+    assert "second" not in dispatched  # provably never reached the engine
+    assert service.cancelled_skipped == 1
+    service.shutdown()
