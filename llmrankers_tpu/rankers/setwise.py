@@ -193,7 +193,7 @@ class SetwiseLlmRanker(EngineRanker):
                 self._query_stats[r.qidx].completion_tokens += ntoks[row_i]
             if len(plan) == 1:
                 row_i, perm, labs = plan[0]
-                label = _extract_label(texts[row_i])
+                label = _extract_label(texts[row_i], self.engine.kind)
                 if label in labs:
                     out.append(perm[labs.index(label)])
                 else:
@@ -208,7 +208,10 @@ class SetwiseLlmRanker(EngineRanker):
                 # Self-consistency vote (setwise.py:137-157).
                 candidates = []
                 for row_i, perm, labs in plan:
-                    label = _extract_label(texts[row_i])
+                    # Vote parse (setwise.py:137-141): whole stripped
+                    # decode uppercased, EXACTLY one character.
+                    s = texts[row_i].strip().upper()
+                    label = s if len(s) == 1 else ""
                     if label not in labs:
                         print(f"Unexpected output: {texts[row_i]!r}", file=sys.stderr)
                         continue
@@ -226,9 +229,16 @@ class SetwiseLlmRanker(EngineRanker):
         return out
 
 
-def _extract_label(text: str) -> str:
-    """Last character of the stripped completion, uppercased — the
-    reference's parse for both T5 (output[-1], setwise.py:99-101) and
-    Llama (strip().upper(), setwise.py:174-177)."""
-    s = text.strip().upper()
-    return s[-1] if s else ""
+def _extract_label(text: str, kind: str) -> str:
+    """The reference's num_permutation=1 parses, which DIFFER by model
+    family and must be replicated exactly for decision parity:
+      * T5: last character of the stripped 2-token decode, with NO
+        uppercasing (setwise.py:99-101 — a lowercase char is rejected
+        by the `output in CHARACTERS` check downstream);
+      * Llama: the WHOLE stripped decode uppercased (setwise.py:174-177);
+        multi-char strings are rejected by the same downstream check.
+    """
+    s = text.strip()
+    if kind == "t5":
+        return s[-1] if s else ""
+    return s.upper()
