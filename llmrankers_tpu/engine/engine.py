@@ -167,7 +167,7 @@ class ScoringEngine:
             pspecs = mesh_mod.decoder_param_pspecs(params)
         self.params = mesh_mod.shard_params(params, pspecs, self.mesh)
         self._pspecs = pspecs
-        self._data_sharding = NamedSharding(self.mesh, P("data"))
+        self._data_sharding = mesh_mod.data_sharding(self.mesh)
         self._repl = NamedSharding(self.mesh, P())
         # Named LoRA adapters served from one engine (vLLM LoRARequest
         # parity, setwise.py:494-497): raw adapter pytrees registered via
@@ -304,7 +304,7 @@ class ScoringEngine:
         # device_put with P('data') needs B divisible by the data axis;
         # the b_cap path can otherwise produce arbitrary sizes (e.g. a
         # 7-row memory-capped generate chunk on a dp=2 mesh).
-        dp = self.mesh.shape.get("data", 1)
+        dp = mesh_mod.batch_divisor(self.mesh)
         B = -(-B // dp) * dp
         ids, mask = native.pack_padded(rows, B, L, self.tokenizer.pad_id, left)
         return ids, mask, n, B

@@ -31,6 +31,49 @@ def single_device_mesh() -> Mesh:
     return make_mesh(1, 1)
 
 
+def make_hybrid_mesh(
+    n_replica: int, n_data: int = 1, n_model: int = 1, devices=None
+) -> Mesh:
+    """3-axis ('replica', 'data', 'model') mesh — the multi-slice seam
+    (SURVEY §5): 'replica' is pure data parallelism ACROSS slices whose
+    collectives ride DCN; 'data'/'model' stay within a slice on ICI.
+    Param pspecs are unchanged (nothing shards over 'replica'); batches
+    shard over ('replica', 'data') via :func:`batch_pspec`, so XLA emits
+    the gradient all-reduce as an ICI reduce + a DCN cross-slice reduce.
+
+    Under a real multi-slice job (``jax.distributed.initialize`` on each
+    host; process_count > 1) the device grid is built with
+    ``mesh_utils.create_hybrid_device_mesh`` so slice-local devices land
+    contiguously on the ICI axes; single-process (tests, the driver's
+    virtual CPU mesh) reshapes the flat device list, which preserves the
+    same program semantics.
+    """
+    import jax.experimental.mesh_utils as mesh_utils
+
+    n = n_replica * n_data * n_model
+    if devices is None and jax.process_count() > 1:
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, n_data, n_model),
+            dcn_mesh_shape=(n_replica, 1, 1),
+        )
+        return Mesh(grid, ("replica", "data", "model"))
+    devices = devices if devices is not None else jax.devices()
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {n_replica}x{n_data}x{n_model} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.asarray(devices[:n]).reshape(n_replica, n_data, n_model)
+    return Mesh(grid, ("replica", "data", "model"))
+
+
+def batch_pspec(mesh: Mesh) -> P:
+    """Batch-dim PartitionSpec: over ('replica', 'data') when the mesh
+    carries the multi-slice axis, else just 'data'."""
+    axes = tuple(a for a in ("replica", "data") if a in mesh.axis_names)
+    return P(axes if len(axes) > 1 else (axes[0] if axes else None))
+
+
 # ---------------------------------------------------------------------------
 # Parameter partition specs (tensor parallelism over the 'model' axis)
 # ---------------------------------------------------------------------------
@@ -139,8 +182,13 @@ def shard_params(params, pspecs, mesh: Mesh):
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding for activations/inputs."""
-    return NamedSharding(mesh, P("data"))
+    """Batch-dim sharding for activations/inputs (multi-slice aware)."""
+    return NamedSharding(mesh, batch_pspec(mesh))
+
+
+def batch_divisor(mesh: Mesh) -> int:
+    """Devices the batch axis shards over (replica * data)."""
+    return mesh.shape.get("replica", 1) * mesh.shape.get("data", 1)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

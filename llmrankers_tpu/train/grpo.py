@@ -30,6 +30,7 @@ from ..engine import generate as gen_mod
 from ..engine.tokenizer import Tokenizer
 from ..models import decoder as dec_mod
 from ..models.config import DecoderConfig
+from ..parallel import mesh as mesh_mod
 from . import lora as lora_mod
 from .rewards import reward_setwise
 from .schedule import lr_schedule
@@ -75,7 +76,7 @@ class GRPOTrainer:
         # optimizer state replicated on every device, batches sharded over
         # 'data'; XLA inserts the gradient all-reduce NCCL did.
         self._repl = NamedSharding(mesh, P())
-        self._data_sh = NamedSharding(mesh, P("data"))
+        self._data_sh = mesh_mod.data_sharding(mesh)
         self.lora = jax.device_put(
             lora_mod.init_lora(base_params, cfg.lora, jax.random.PRNGKey(0)),
             self._repl,
@@ -315,7 +316,7 @@ class GRPOTrainer:
         # Gradient accumulation over even micro-batches of the rollout
         # rows (train_grpo_v0.2.py:36 gradient_accumulation_steps=4).
         n_rows = full_ids.shape[0]
-        n_data = self.mesh.shape.get("data", 1)
+        n_data = mesh_mod.batch_divisor(self.mesh)
         accum = max(1, min(cfg.grad_accum, n_rows))
         # Even micro-batches; keep them divisible by the data axis whenever
         # the full rollout is, so every micro-batch shards evenly.

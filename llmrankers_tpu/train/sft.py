@@ -100,7 +100,7 @@ def make_sft_step(
     repl = NamedSharding(mesh, P())
     lora0 = jax.device_put(lora0, repl)
     opt0 = tx.init(lora0)
-    data_sh = NamedSharding(mesh, P("data"))
+    data_sh = mesh_mod.data_sharding(mesh)
 
     def step(lora, opt_state, batch):
         batch = {
@@ -131,7 +131,7 @@ def make_full_train_step(
         optax.adamw(lr_schedule(train_cfg),
                     weight_decay=train_cfg.weight_decay),
     )
-    data_sh = NamedSharding(mesh, P("data"))
+    data_sh = mesh_mod.data_sharding(mesh)
 
     def step(params, opt_state, batch):
         batch = {

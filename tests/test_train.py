@@ -279,6 +279,78 @@ def test_grpo_dp_matches_single_device(tiny_model):
                                    err_msg=k)
 
 
+def test_grpo_hybrid_mesh_matches_flat(tiny_model):
+    """Multi-slice seam (SURVEY §5): the 3-axis (replica=2, data=2,
+    model=2) hybrid mesh — pure DP across slices on the 'replica' axis,
+    dp+tp within a slice — must reproduce the flat (4, 2) mesh's GRPO
+    step exactly: batches shard over ('replica', 'data'), the adapter is
+    replicated everywhere, and XLA's cross-slice all-reduce changes only
+    reduction order."""
+    cfg, params = tiny_model
+    tok = ByteTokenizer(cfg.vocab_size)
+    gcfg = GRPOConfig(num_generations=4, max_completion_length=8,
+                      max_prompt_length=64, beta=0.04, grad_accum=2,
+                      lora=lora_mod.LoraConfig(r=2, alpha=4))
+
+    def reward(completions, gts):
+        return [float(i % 2) for i, _ in enumerate(completions)]
+
+    prompts = [[{"role": "user", "content": f"pick doc {i}"}] for i in range(2)]
+    results = {}
+    for name, mesh in {
+        "flat": mesh_mod.make_mesh(4, 2),
+        "hybrid": mesh_mod.make_hybrid_mesh(2, 2, 2),
+    }.items():
+        p = mesh_mod.shard_params(
+            params, mesh_mod.decoder_param_pspecs(params), mesh
+        )
+        tr = GRPOTrainer(cfg, p, tok, gcfg, mesh, reward_fn=reward)
+        m = tr.train_step(prompts, ["[1]", "[2]"])
+        results[name] = (m, jax.tree.map(np.asarray, tr.lora))
+    m1, lora1 = results["flat"]
+    m2, lora2 = results["hybrid"]
+    assert m2["reward_mean"] == m1["reward_mean"]
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=2e-4, atol=2e-5)
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(lora1),
+        jax.tree_util.tree_leaves_with_path(lora2),
+    ):
+        np.testing.assert_allclose(
+            v2, v1, rtol=2e-3, atol=2e-5,
+            err_msg=jax.tree_util.keystr(k1),
+        )
+
+
+def test_sft_hybrid_mesh_matches_flat(tiny_model):
+    """Full-parameter SFT step equivalence on the same meshes (the
+    program the driver's dryrun_multichip also exercises)."""
+    from llmrankers_tpu.train.sft import SFTConfig, make_full_train_step
+
+    cfg, params = tiny_model
+    rng = np.random.RandomState(0)
+    B, T = 8, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(2, 500, (B, T)), jnp.int32),
+        "attn_mask": jnp.ones((B, T), jnp.int32),
+        "loss_mask": jnp.asarray(rng.rand(B, T) > 0.5, jnp.float32),
+    }
+    losses = {}
+    host_params = jax.tree.map(np.asarray, params)  # step donates its input
+    for name, mesh in {
+        "flat": mesh_mod.make_mesh(4, 2),
+        "hybrid": mesh_mod.make_hybrid_mesh(2, 2, 2),
+    }.items():
+        p = mesh_mod.shard_params(
+            host_params, mesh_mod.decoder_param_pspecs(params), mesh
+        )
+        step, tx = make_full_train_step(cfg, SFTConfig(), mesh)
+        with mesh:
+            _, _, metrics = step(p, tx.init(p), batch)
+            losses[name] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["hybrid"], losses["flat"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def _write_train_jsonl(path, n=4, with_completion=False):
     import json as _json
     rows = []
