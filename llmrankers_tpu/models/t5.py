@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import gelu_new, mha, rms_norm
+from ..ops.attention import gelu_new, mha_flat, rms_norm
 from .config import T5Config
 
 Params = Dict[str, Any]
@@ -32,7 +32,8 @@ Params = Dict[str, Any]
 _SCALE_SUFFIX = "_scale"  # models/quant.py convention
 
 
-def _mm(lp: Params, name: str, x: jax.Array, cfg: T5Config) -> jax.Array:
+def _mm(lp: Params, name: str, x: jax.Array, cfg: T5Config,
+        residual: Optional[jax.Array] = None) -> jax.Array:
     """One per-layer matmul site, dispatching on quantization state:
       * no ``<name>_scale`` leaf -> plain bf16 matmul;
       * quantized + ``cfg.int8_kernel`` -> Pallas W8A8 int8-MXU kernel
@@ -41,18 +42,41 @@ def _mm(lp: Params, name: str, x: jax.Array, cfg: T5Config) -> jax.Array:
       * quantized otherwise -> XLA w8a16 dequant, fused into the matmul
         producer (multi-device/GSPMD-safe fallback; weight HBM halves
         but the MXU stays bf16).
+
+    ``residual`` is added to the matmul output — in the kernel's
+    epilogue on the kernel path, so the transformer block's residual
+    add never exists as a separate XLA op.
     """
     w = lp[name]
     s = lp.get(name + _SCALE_SUFFIX)
     if s is None:
-        return x @ w
-    if cfg.int8_kernel and w.shape[0] % 128 == 0 and w.shape[1] % 128 == 0:
+        out = x @ w
+        return out if residual is None else out + residual
+    if _kernel_worthwhile(x, w, cfg):
         from ..ops.int8_matmul import quantized_matmul
 
         return quantized_matmul(
-            x, w, s, interpret=jax.default_backend() != "tpu"
+            x, w, s, residual=residual,
+            interpret=jax.default_backend() != "tpu",
         )
-    return x @ (w.astype(x.dtype) * s.astype(x.dtype))
+    out = x @ (w.astype(x.dtype) * s.astype(x.dtype))
+    return out if residual is None else out + residual
+
+
+def _kernel_worthwhile(x: jax.Array, w: jax.Array, cfg: T5Config) -> bool:
+    """Kernel-vs-dequant dispatch. Small-M GEMMs (the 2-token decoder
+    pass: M = B*T ~ 64) are weight-streaming-bound — the w8a16 dequant
+    path already streams int8 bytes and fuses, while a kernel call adds
+    fixed pipeline cost per site (measured ~50ms across the xl decoder
+    at M=64 vs ~30ms on the dequant path)."""
+    if not cfg.int8_kernel:
+        return False
+    if w.shape[0] % 128 != 0 or w.shape[1] % 128 != 0:
+        return False
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    return m >= 1024
 
 
 def _mm_fused(lp: Params, names, x: jax.Array, cfg: T5Config):
@@ -65,10 +89,8 @@ def _mm_fused(lp: Params, names, x: jax.Array, cfg: T5Config):
     weights is a ~12MB VMEM-speed copy (~15us), dwarfed by the GEMM.
     Falls back to independent ``_mm`` calls off the kernel path."""
     kernel_ok = (
-        cfg.int8_kernel
-        and all(lp.get(n + _SCALE_SUFFIX) is not None for n in names)
-        and all(lp[n].shape[0] % 128 == 0 for n in names)
-        and all(lp[n].shape[1] % 128 == 0 for n in names)
+        all(lp.get(n + _SCALE_SUFFIX) is not None for n in names)
+        and all(_kernel_worthwhile(x, lp[n], cfg) for n in names)
     )
     if not kernel_ok:
         return tuple(_mm(lp, n, x, cfg) for n in names)
@@ -138,16 +160,6 @@ def compute_bias(
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
-def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
-    b, l, _ = x.shape
-    return x.reshape(b, l, n_heads, -1).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x: jax.Array) -> jax.Array:
-    b, h, l, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
-
-
 def _attn(
     lp: Params,
     prefix: str,
@@ -157,6 +169,7 @@ def _attn(
     kv_mask: Optional[jax.Array],
     bias: Optional[jax.Array],
     causal: bool = False,
+    residual: Optional[jax.Array] = None,
 ) -> jax.Array:
     if kv_src is x:  # self-attention: one fused qkv GEMM
         qp, kp, vp = _mm_fused(
@@ -165,22 +178,23 @@ def _attn(
     else:
         qp = _mm(lp, prefix + "q", x, cfg)
         kp, vp = _mm_fused(lp, (prefix + "k", prefix + "v"), kv_src, cfg)
-    q = _split_heads(qp, cfg.num_heads)
-    k = _split_heads(kp, cfg.num_heads)
-    v = _split_heads(vp, cfg.num_heads)
-    out = mha(q, k, v, kv_mask=kv_mask, causal=causal, bias=bias, scale=1.0,
-              use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
-    return _mm(lp, prefix + "o", _merge_heads(out), cfg)
+    # Projection-natural [B, L, H*Dh] layout end to end: the blhd flash
+    # kernel lane-slices heads, so no head transpose is materialized.
+    out = mha_flat(qp, kp, vp, cfg.num_heads, kv_mask=kv_mask,
+                   causal=causal, bias=bias, scale=1.0,
+                   use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+    return _mm(lp, prefix + "o", out, cfg, residual=residual)
 
 
-def _ffn(lp: Params, cfg: T5Config, x: jax.Array) -> jax.Array:
+def _ffn(lp: Params, cfg: T5Config, x: jax.Array,
+         residual: Optional[jax.Array] = None) -> jax.Array:
     if cfg.is_gated:
         act = gelu_new if cfg.act_fn == "gelu_new" else jax.nn.relu
         h0, h1 = _mm_fused(lp, ("wi_0", "wi_1"), x, cfg)
         h = act(h0) * h1
     else:
         h = jax.nn.relu(_mm(lp, "wi", x, cfg))
-    return _mm(lp, "wo", h, cfg)
+    return _mm(lp, "wo", h, cfg, residual=residual)
 
 
 def encode(
@@ -193,11 +207,13 @@ def encode(
     bias = compute_bias(enc["rel_bias"], L, L, True, cfg)
 
     def layer(h, lp):
+        # NOTE: residual adds stay as XLA ops — fusing them into the
+        # kernel epilogue measured neutral-to-slightly-slower (300 vs
+        # 295ms/xl batch; the residual tile competes for VMEM/DMA).
         hn = rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon)
-        a = _attn(lp, "", cfg, hn, hn, attn_mask, bias)
-        h = h + a
-        f = _ffn(lp, cfg, rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon))
-        return h + f, None
+        h = h + _attn(lp, "", cfg, hn, hn, attn_mask, bias)
+        h = h + _ffn(lp, cfg, rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon))
+        return h, None
 
     x, _ = jax.lax.scan(layer, x, enc["layers"])
     return rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
@@ -230,26 +246,22 @@ def decode_hidden(
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon)
-        a = _attn(lp, "", cfg, hn, hn, None, self_bias, causal=True)
-        h = h + a
+        h = h + _attn(lp, "", cfg, hn, hn, None, self_bias, causal=True)
         hn = rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon)
-        c = _cross_attn(lp, cfg, hn, enc_out, enc_mask)
-        h = h + c
-        f = _ffn(lp, cfg, rms_norm(h, lp["ln3"], cfg.layer_norm_epsilon))
-        return h + f, None
+        h = h + _cross_attn(lp, cfg, hn, enc_out, enc_mask)
+        h = h + _ffn(lp, cfg, rms_norm(h, lp["ln3"], cfg.layer_norm_epsilon))
+        return h, None
 
     x, _ = jax.lax.scan(layer, x, dec["layers"])
     return rms_norm(x, dec["final_ln"], cfg.layer_norm_epsilon)
 
 
-def _cross_attn(lp, cfg, x, enc_out, enc_mask):
+def _cross_attn(lp, cfg, x, enc_out, enc_mask, residual=None):
     kp, vp = _mm_fused(lp, ("ck", "cv"), enc_out, cfg)
-    q = _split_heads(_mm(lp, "cq", x, cfg), cfg.num_heads)
-    k = _split_heads(kp, cfg.num_heads)
-    v = _split_heads(vp, cfg.num_heads)
-    out = mha(q, k, v, kv_mask=enc_mask, bias=None, scale=1.0,
-              use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
-    return _mm(lp, "co", _merge_heads(out), cfg)
+    qp = _mm(lp, "cq", x, cfg)
+    out = mha_flat(qp, kp, vp, cfg.num_heads, kv_mask=enc_mask, bias=None,
+                   scale=1.0, use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+    return _mm(lp, "co", out, cfg, residual=residual)
 
 
 def lm_logits(params: Params, cfg: T5Config, hidden: jax.Array) -> jax.Array:

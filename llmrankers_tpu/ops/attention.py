@@ -81,6 +81,69 @@ def mha(
     return out.astype(dtype)
 
 
+def mha_flat(
+    q: jax.Array,  # [B, Lq, H*Dh] — as the qkv projections produce them
+    k: jax.Array,  # [B, Lk, H*Dh]
+    v: jax.Array,
+    num_heads: int,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    bias: Optional[jax.Array] = None,  # [1, H, Lq, Lk]
+    scale: Optional[float] = None,
+    use_flash: bool = False,
+    mesh=None,
+) -> jax.Array:
+    """Attention over the projection-natural [B, L, H*Dh] layout.
+
+    On the flash path this is transpose-free end to end: the blhd kernel
+    lane-slices heads out of the flat dim (ops/flash.py::_kernel_blhd),
+    so the [B,L,H,D] -> [B,H,L,D] head transposes — measured ~37ms of
+    pure layout copies per xl batch — never exist. The XLA fallback
+    reshapes/transposes internally (exactly the previous cost)."""
+    B, Lq, HD = q.shape
+    Dh = HD // num_heads
+    if scale is None:
+        scale = Dh**-0.5
+    hg = 128 // _gcd_int(Dh, 128)
+    flash_ok = (
+        use_flash
+        and Lq >= 128
+        and HD % 128 == 0
+        and num_heads % hg == 0
+        and Dh % 8 == 0
+    )
+    if flash_ok:
+        multi = mesh is not None and mesh.devices.size > 1
+        even = not multi or (
+            B % mesh.shape.get("data", 1) == 0
+            and num_heads % (hg * mesh.shape.get("model", 1)) == 0
+            and HD % (128 * mesh.shape.get("model", 1)) == 0
+        )
+        if even:
+            from .flash import flash_mha_blhd
+
+            return flash_mha_blhd(
+                q, k, v, num_heads, kv_mask=kv_mask, causal=causal,
+                bias=bias, scale=scale, mesh=mesh if multi else None,
+            )
+    # XLA fallback: classic split-heads path.
+    def split(x, L):
+        return x.reshape(B, L, num_heads, Dh).transpose(0, 2, 1, 3)
+
+    out = mha(
+        split(q, Lq), split(k, k.shape[1]), split(v, v.shape[1]),
+        kv_mask=kv_mask, causal=causal, bias=bias, scale=scale,
+        use_flash=False,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, HD)
+
+
+def _gcd_int(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
 def make_causal_mask(length: int) -> jax.Array:
     """[1, 1, L, L] lower-triangular bool mask."""
     i = jnp.arange(length)[:, None]

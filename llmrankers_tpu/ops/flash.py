@@ -114,6 +114,89 @@ def _kernel(
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _kernel_blhd(
+    q_ref,  # [1, TQ, hg*Dh]
+    k_ref,  # [1, Lk, hg*Dh]
+    v_ref,  # like k_ref
+    kvm_ref,  # [1, 1, Lk] f32 penalty or None
+    bias_ref,  # [hg, TQ, Lk] or None
+    o_ref,  # like q_ref
+    *,
+    scale: float,
+    causal: bool,
+    tk: int,
+    lk: int,
+    causal_offset: int,
+    hg: int,
+    dh: int,
+):
+    """blhd flash body: tensors stay in the projection-natural
+    [B, L, H*Dh] order (no head transpose anywhere); each grid program
+    handles ``hg`` heads by static lane-slicing its [TQ, hg*Dh] tile.
+    hg*Dh must be a 128-lane multiple (hg=2 at Dh=64 — every T5/Llama
+    config here); Mosaic cannot express a 1-wide second-to-last block
+    dim, which rules out the naive [B, L, H, Dh] BlockSpec."""
+    tq = q_ref.shape[1]
+    iq = pl.program_id(1)
+    M_FLOOR = -1e28
+    nk = lk // tk
+    for h in range(hg):
+        q = q_ref[0, :, h * dh:(h + 1) * dh]
+        m = jnp.full((tq, 1), M_FLOOR, jnp.float32)
+        l = jnp.zeros((tq, 1), jnp.float32)
+        acc = jnp.zeros((tq, dh), jnp.float32)
+        for kt in range(nk):
+            if causal:
+                row_ids = iq * tq + jax.lax.broadcasted_iota(
+                    jnp.int32, (tq, tk), 0
+                )
+            k_tile = k_ref[0, pl.ds(kt * tk, tk), h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if scale != 1.0:
+                s = s * scale
+            if bias_ref is not None:
+                s = s + bias_ref[h, :, pl.ds(kt * tk, tk)]
+            if kvm_ref is not None:
+                s = s + kvm_ref[0, 0, pl.ds(kt * tk, tk)][None, :]
+            if causal:
+                col_ids = kt * tk + jax.lax.broadcasted_iota(
+                    jnp.int32, (tq, tk), 1
+                )
+                s = jnp.where(col_ids <= row_ids + causal_offset, s, NEG_INF)
+            if nk == 1:
+                m_new = jnp.maximum(
+                    jnp.max(s, axis=-1, keepdims=True), M_FLOOR
+                )
+                p = jnp.exp(s - m_new)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                acc = jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0, :, h * dh:(h + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                m_new = jnp.maximum(
+                    jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True)),
+                    M_FLOOR,
+                )
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0, pl.ds(kt * tk, tk), h * dh:(h + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m = m_new
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
+
+
 def _pad_to(x: jax.Array, axis: int, mult: int, value=0):
     n = x.shape[axis]
     pad = (-n) % mult
@@ -147,6 +230,7 @@ def flash_mha(
     kernels (Rank-R1/run_setwise.py:121-126)."""
     B, H, Lq, Dh = q.shape
     Lk = k.shape[2]
+    sdim = 2
     if bias is not None and bias.shape[0] != 1:
         raise ValueError("flash path requires batch-invariant bias")
 
@@ -262,3 +346,137 @@ def flash_mha(
     else:
         out = run(*args)
     return out[:, :, :Lq, :Dh]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "causal", "scale", "block_q", "block_k",
+                     "mesh"),
+)
+def flash_mha_blhd(
+    q: jax.Array,  # [B, Lq, H*Dh] — projection-natural, no head transpose
+    k: jax.Array,  # [B, Lk, H*Dh]
+    v: jax.Array,
+    num_heads: int,
+    kv_mask: Optional[jax.Array] = None,  # [B, Lk] {0,1}
+    causal: bool = False,
+    bias: Optional[jax.Array] = None,  # [1, H, Lq, Lk] (batch-invariant)
+    scale: float = 1.0,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    mesh=None,
+) -> jax.Array:
+    """Flash attention over the [B, L, H*Dh] layout (see _kernel_blhd):
+    q/k/v arrive exactly as the projection GEMMs produce them and the
+    output feeds the o-projection directly — zero head transposes in the
+    whole attention block. Each grid program covers a GROUP of heads so
+    the lane-group width hg*Dh is a 128 multiple (Mosaic's trailing-dim
+    tiling rule); requires H % hg == 0, which the mha() dispatcher
+    guards. TP sharding: the H*Dh axis shards over 'model' exactly like
+    the qkv projection outputs, so shard_map stays collective-free."""
+    B, Lq, HD = q.shape
+    Lk = k.shape[1]
+    H = num_heads
+    Dh = HD // H
+    hg = 128 // _gcd(Dh, 128)
+    if HD % 128 or H % hg or Dh % 8:
+        raise ValueError(f"blhd flash needs H*Dh%128==0, H%{hg}==0 at Dh={Dh}")
+    if bias is not None and bias.shape[0] != 1:
+        raise ValueError("flash path requires batch-invariant bias")
+
+    def _fit(n: int, cap: int, step: int) -> int:
+        if n <= cap:
+            return max(n, step)
+        for t in range(cap, step - 1, -step):
+            if n % t == 0:
+                return t
+        return cap
+
+    cap_q = block_q
+    while cap_q > 64 and cap_q * max(Lk, 128) > 2**20:
+        cap_q //= 2
+    tq = _fit(Lq, cap_q, 8)
+    tk = _fit(Lk, block_k, 128) if Lk >= 128 else 128
+    q_p = _pad_to(q, 1, tq)
+    k_p = _pad_to(k, 1, tk)
+    v_p = _pad_to(v, 1, tk)
+    Lq_p, Lk_p = q_p.shape[1], k_p.shape[1]
+    if Lk_p != Lk and kv_mask is None:
+        kv_mask = jnp.ones((B, Lk), jnp.int32)
+    if kv_mask is not None:
+        penalty = (1.0 - kv_mask.astype(jnp.float32)) * NEG_INF
+        kv_mask = _pad_to(penalty, 1, tk, value=NEG_INF)[:, None, :]
+    bias_p = None
+    if bias is not None:
+        bias_p = _pad_to(_pad_to(bias[0], 1, tq), 2, tk)  # [H, Lq_p, Lk_p]
+    has_kvm = kv_mask is not None
+    has_bias = bias_p is not None
+    gd = hg * Dh  # lane-group width
+
+    def run(*local_args):
+        q_, k_, v_ = local_args[:3]
+        Bl, HDl = q_.shape[0], q_.shape[2]
+        grid = (HDl // gd, Lq_p // tq, Bl)  # (head group, q tile, batch)
+        in_specs = [
+            pl.BlockSpec((1, tq, gd), lambda hh, i, b: (b, i, hh)),
+            pl.BlockSpec((1, Lk_p, gd), lambda hh, i, b: (b, 0, hh)),
+            pl.BlockSpec((1, Lk_p, gd), lambda hh, i, b: (b, 0, hh)),
+        ]
+        if has_kvm:
+            in_specs.append(
+                pl.BlockSpec((1, 1, Lk_p), lambda hh, i, b: (b, 0, 0))
+            )
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((hg, tq, Lk_p), lambda hh, i, b: (hh, i, 0))
+            )
+
+        def kernel(*refs):
+            idx = 3
+            kvm_ref = refs[idx] if has_kvm else None
+            idx += has_kvm
+            bias_ref = refs[idx] if has_bias else None
+            _kernel_blhd(
+                refs[0], refs[1], refs[2], kvm_ref, bias_ref, refs[-1],
+                scale=scale, causal=causal, tk=tk, lk=Lk_p,
+                causal_offset=Lk - Lq, hg=hg, dh=Dh,
+            )
+
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, tq, gd), lambda hh, i, b: (b, i, hh)),
+            out_shape=jax.ShapeDtypeStruct((Bl, Lq_p, HDl), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bl * H * Lq_p * Lk_p * Dh,
+                bytes_accessed=(q_.size + k_.size + v_.size)
+                * q_.dtype.itemsize,
+                transcendentals=Bl * H * Lq_p * Lk_p,
+            ),
+        )(*local_args)
+
+    args = [q_p, k_p, v_p]
+    specs = [P("data", None, "model")] * 3
+    if has_kvm:
+        args.append(kv_mask)
+        specs.append(P("data", None, None))
+    if has_bias:
+        args.append(bias_p)
+        specs.append(P("model", None, None))
+    if mesh is not None and mesh.devices.size > 1:
+        out = shard_map(
+            run, mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=P("data", None, "model"),
+            check_rep=False,
+        )(*args)
+    else:
+        out = run(*args)
+    return out[:, :Lq, :]
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a

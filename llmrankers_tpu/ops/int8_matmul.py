@@ -32,6 +32,7 @@ keeps propagating shardings; the single-chip bench path takes the kernel.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -154,19 +155,168 @@ def int8_matmul(
     return out[:M] if pad else out
 
 
+def _kernel_fusedq(
+    x_ref, w_ref, sw_ref, *rest, nk: int, has_res: bool
+):
+    """bf16-activation variant: per-row scales are computed from the
+    VMEM-resident x tile and the int8 quantization happens on the VPU,
+    so NO quantized copy of the activation ever exists in HBM. With
+    K-blocking (nk > 1) each k-block gets its own row scale (finer
+    granularity than whole-row — strictly more accurate) and the
+    accumulator is f32 so per-block scales fold into the accumulation.
+
+    The quantized tile is cached in scratch per (i, k) and reused across
+    the j loop (grid order makes k fastest, j middle), so the VPU
+    quantize runs once per x tile instead of N/bn times — profiling v2
+    showed the redundant re-quantize costing ~35% of kernel time at the
+    wide-N sites.
+
+    ``has_res``: a residual tile rides the epilogue (out = acc*sw + res),
+    fusing the transformer block's residual add into the kernel — the
+    separate XLA add plus the VMEM staging of the residual stream
+    disappear from the layer."""
+    if has_res:
+        res_ref, o_ref, acc_ref, q_ref, s_ref = rest
+    else:
+        res_ref = None
+        o_ref, acc_ref, q_ref, s_ref = rest
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        q_ref[k] = jnp.clip(
+            jnp.round(x * pl.reciprocal(scale, approx=False)), -127, 127
+        ).astype(jnp.int8)
+        s_ref[k] = scale
+
+    d = jnp.dot(q_ref[k], w_ref[:], preferred_element_type=jnp.int32)
+    acc_ref[:] += d.astype(jnp.float32) * s_ref[k]
+
+    @pl.when(k == nk - 1)
+    def _():
+        out = acc_ref[:] * sw_ref[:]
+        if res_ref is not None:
+            out = out + res_ref[:].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn_cap", "bk_cap", "interpret")
+)
+def _fusedq_matmul_2d(
+    x: jax.Array,  # [M, K] bf16/f32
+    w8: jax.Array,  # [K, N] int8
+    sw: jax.Array,  # [1, N] f32
+    residual: Optional[jax.Array] = None,  # [M, N], added in the epilogue
+    out_dtype=jnp.bfloat16,
+    bm: int = 256,
+    bn_cap: int = 2048,
+    bk_cap: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = w8.shape[1]
+    bn = _largest_divisor(N, bn_cap)
+    bk = _largest_divisor(K, bk_cap)
+    if bn == 0 or bk == 0:
+        raise ValueError(
+            f"int8_matmul needs 128-multiple divisible K/N, got {K}x{N}"
+        )
+    xbytes = x.dtype.itemsize
+
+    def _vmem(bm_, bk_, bn_):
+        # double-buffered inputs (+ residual tile) + f32 acc + cached q/s
+        # + out + in-kernel f32 temporary of the x tile during the j==0
+        # quantize
+        nk_ = K // bk_
+        res_bytes = 2 * bm_ * bn_ * 2 if residual is not None else 0
+        return (
+            2 * (bm_ * bk_ * xbytes + bk_ * bn_)
+            + 4 * bm_ * bn_ + 4 * bm_ * bn_ + res_bytes
+            + nk_ * bm_ * (bk_ + 4)
+            + bm_ * bk_ * 4
+        )
+
+    while bk > 1024 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bk //= 2
+    while bm > 128 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bm //= 2
+    while bn > 128 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bn //= 2
+    pad = (-M) % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, pad), (0, 0)))
+    Mp = M + pad
+    nk = K // bk
+    has_res = residual is not None
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, w8, sw]
+    if has_res:
+        in_specs.append(
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(residual)
+    out = pl.pallas_call(
+        functools.partial(_kernel_fusedq, nk=nk, has_res=has_res),
+        grid=(Mp // bm, N // bn, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((nk, bm, bk), jnp.int8),
+            pltpu.VMEM((nk, bm, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * xbytes + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:M] if pad else out
+
+
 def quantized_matmul(
     x: jax.Array,  # [..., K] bf16/f32 activations
     w8: jax.Array,  # [K, N] int8
     sw: jax.Array,  # [1, N] weight column scales
+    residual: Optional[jax.Array] = None,  # [..., N] fused epilogue add
     interpret: bool = False,
 ) -> jax.Array:
-    """Dynamic-activation W8A8 matmul over arbitrary leading dims."""
+    """Dynamic-activation W8A8 matmul over arbitrary leading dims.
+
+    The activation is quantized INSIDE the kernel (see _kernel_fusedq):
+    profiling the first integration showed the XLA-side quantize —
+    f32 materializations, abs-reduce passes, int8 clamp/convert writes,
+    and the layout copies they force — cost MORE than the int8 MXU
+    saved (docs/ARCHITECTURE.md int8 section)."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    x8, sx = quantize_rows(x2)
-    out = int8_matmul(
-        x8, sx, w8, sw.astype(jnp.float32),
+    res2 = None if residual is None else residual.reshape(x2.shape[0], -1)
+    out = _fusedq_matmul_2d(
+        x2, w8, sw.astype(jnp.float32), res2,
         out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
         interpret=interpret,
     )

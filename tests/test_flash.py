@@ -203,3 +203,89 @@ def test_flash_causal_rect_unequal_padding():
     kv_mask = np.ones((B, Lk), np.int32)
     kv_mask[0, 260:] = 0
     _compare(q, k, v, kv_mask=jnp.asarray(kv_mask), causal=True, scale=1.0)
+
+
+# ---------------------------------------------------------------------------
+# blhd layout (flash_mha_blhd): transpose-free [B, L, H*Dh] attention
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def _interpret_blhd(monkeypatch):
+    orig = flash.pl.pallas_call
+    monkeypatch.setattr(
+        flash.pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    monkeypatch.setattr(
+        flash, "flash_mha_blhd", flash.flash_mha_blhd.__wrapped__
+    )
+
+
+@pytest.mark.parametrize("case", ["plain", "bias", "kvmask", "causal",
+                                  "bias_kvmask"])
+def test_flash_blhd_matches_xla(case, _interpret_blhd):
+    """The head-group blhd kernel must reproduce the XLA path across the
+    same mask/bias matrix as the bhld kernel, on the flat [B, L, H*Dh]
+    layout (H=4, Dh=64 -> head group hg=2)."""
+    B, L, H, Dh = 2, 256, 4, 64
+    q = _rand((B, L, H * Dh), 0)
+    k = _rand((B, L, H * Dh), 1)
+    v = _rand((B, L, H * Dh), 2)
+    kw = {}
+    if case in ("kvmask", "bias_kvmask"):
+        m = np.ones((B, L), np.int32)
+        m[0, -40:] = 0
+        m[1, -7:] = 0
+        kw["kv_mask"] = jnp.asarray(m)
+    if case in ("bias", "bias_kvmask"):
+        kw["bias"] = _rand((1, H, L, L), 3)
+    if case == "causal":
+        kw["causal"] = True
+
+    got = flash.flash_mha_blhd(q, k, v, H, scale=1.0, **kw)
+
+    def split(x):
+        return x.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+
+    want = attention.mha(split(q), split(k), split(v), scale=1.0, **kw)
+    want = want.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mha_flat_dispatch(monkeypatch):
+    """mha_flat: flash only when the head-group constraint holds; the
+    XLA fallback is numerically identical either way."""
+    from llmrankers_tpu.ops.attention import mha_flat
+
+    B, L, H, Dh = 2, 64, 4, 16  # H*Dh=64 < 128: flash ineligible
+    q = _rand((B, L, H * Dh), 5)
+    k = _rand((B, L, H * Dh), 6)
+    v = _rand((B, L, H * Dh), 7)
+    out = mha_flat(q, k, v, H, use_flash=True)  # must not try the kernel
+    assert out.shape == (B, L, H * Dh)
+    out2 = mha_flat(q, k, v, H, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_flash_blhd_shard_map_tp_matches_single(_interpret_blhd):
+    """blhd kernel under shard_map on a 2x2 (dp x tp) mesh == unsharded:
+    the flat H*Dh axis shards over 'model' exactly like the qkv
+    projection outputs (t5 TP layout), so the kernel stays local."""
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    B, L, H, Dh = 4, 192, 4, 64
+    q, k, v = (_rand((B, L, H * Dh), i + 50) for i in range(3))
+    bias = _rand((1, H, L, L), 54)
+    kv_mask = np.ones((B, L), np.int32)
+    kv_mask[1, 100:] = 0
+    kv_mask = jnp.asarray(kv_mask)
+
+    single = flash.flash_mha_blhd(q, k, v, H, kv_mask=kv_mask, bias=bias,
+                                  scale=1.0, block_q=64, block_k=128)
+    mesh = mesh_mod.make_mesh(2, 2)
+    sharded = flash.flash_mha_blhd(q, k, v, H, kv_mask=kv_mask, bias=bias,
+                                   scale=1.0, block_q=64, block_k=128,
+                                   mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=2e-5, atol=2e-5
+    )

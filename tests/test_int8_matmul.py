@@ -89,11 +89,16 @@ def test_t5_forward_int8_kernel_path_matches_bf16():
     )
     params = t5_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     qp = quant_mod.quantize_t5_params(params)
-    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 512)
+    # B*L >= 1024 so the encoder takes the kernel path (small-M sites
+    # dispatch to the w8a16 dequant fallback — t5._kernel_worthwhile).
+    ids = jax.random.randint(jax.random.PRNGKey(1), (64, 16), 0, 512)
     mask = jnp.ones_like(ids)
-    dec = jnp.zeros((2, 1), jnp.int32)
+    dec = jnp.zeros((64, 1), jnp.int32)
     ref = np.asarray(t5_mod.forward(params, cfg, ids, mask, dec)[:, -1])
     cfg_k = dataclasses.replace(cfg, int8_kernel=True)
+    assert t5_mod._kernel_worthwhile(
+        jnp.zeros((64, 16, 128)), qp["encoder"]["layers"]["q"][0], cfg_k
+    )
     got = np.asarray(t5_mod.forward(qp, cfg_k, ids, mask, dec)[:, -1])
     assert (ref.argmax(-1) == got.argmax(-1)).all()
     cos = (ref * got).sum() / (
