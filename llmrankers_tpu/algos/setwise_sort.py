@@ -281,4 +281,5 @@ async def insertion(
                 break  # current k-th wins (or unparseable): prune group
             winner = group.pop(best - 1)
             await binary_insert(winner)
-    return top + [d for d in arr if not any(d is t for t in top)]
+    top_ids = {id(d) for d in top}  # identity set: O(n + k), docs need not be hashable
+    return top + [d for d in arr if id(d) not in top_ids]
