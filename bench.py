@@ -515,6 +515,12 @@ def main():
         detail["rankr1_int8_kv8_b32"] = rankr1_decode(
             batch=32, quantize="int8", kv_quantize="int8"
         )
+        # int4 W4A8 Pallas kernel rows (quarter weight HBM): decode is
+        # weight-streaming-bound, so the ceiling is ~2x the int8 row.
+        detail["rankr1_int4"] = rankr1_decode(quantize="int4")
+        detail["rankr1_int4_kv8_b32"] = rankr1_decode(
+            batch=32, quantize="int4", kv_quantize="int8"
+        )
         detail["rankr1_spec"] = rankr1_spec()
     xl = None
     if "xl" in sections:

@@ -96,13 +96,16 @@ def build_parsers():
     run_p.add_argument("--dtype", type=str, default="bfloat16",
                        choices=["bfloat16", "float32"])
     run_p.add_argument("--quantize", type=str, default=None,
-                       choices=["int8"],
-                       help="int8 quantization. Decoder models: weight-only "
+                       choices=["int8", "int4"],
+                       help="weight quantization. int8 decoder: weight-only "
                             "W8A16 (halves weight HBM; ~2x decode throughput "
-                            "at serving batch sizes). T5 models: W8A8 via "
+                            "at serving batch sizes). int8 T5: W8A8 via "
                             "the Pallas int8-MXU kernel on single-chip TPU "
                             "(the compute-bound scoring path runs on the "
-                            "2x-peak int8 systolic path)")
+                            "2x-peak int8 systolic path). int4: decoder-only "
+                            "group-wise W4A8 Pallas kernel (quarter weight "
+                            "HBM; ~2x the int8 decode ceiling; expect some "
+                            "accuracy loss — validate on your task)")
     run_p.add_argument("--max_cached_adapters", type=int, default=1,
                        help="merged LoRA weight copies kept on device; "
                             "raise to the serving working set when "

@@ -78,7 +78,7 @@ class ScoringEngine:
         max_batch_tokens: int = 2**17,
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
-        quantize: Optional[str] = None,  # None | 'int8' (decoder weights)
+        quantize: Optional[str] = None,  # None | 'int8' | 'int4' (weights)
         kv_quantize: Optional[str] = None,  # None | 'int8' (decoder KV cache)
         spec_lookup: int = 0,  # >0: prompt-lookup speculative decoding
         # with K-token drafts (decoder generation; vLLM ngram-spec parity)
@@ -90,9 +90,30 @@ class ScoringEngine:
         if quantize is not None:
             from ..models import quant as quant_mod
 
-            if quantize != "int8":
+            if quantize not in ("int8", "int4"):
                 raise ValueError(f"unknown quantize mode {quantize!r}")
-            if kind == "decoder":
+            if quantize == "int4":
+                if kind != "decoder":
+                    raise ValueError(
+                        "quantize='int4' targets decoder models (T5 scoring"
+                        " is compute-bound on the int8 MXU — use 'int8')"
+                    )
+                # Group-wise W4: decode is weight-streaming-bound, so
+                # quartered weight bytes ~ 2x the int8 decode ceiling. On
+                # a single TPU chip the matmul sites run the Pallas W4A8
+                # kernel (in-VMEM nibble unpack, int8-MXU dots); meshes
+                # and CPU take the XLA unpack fallback (quant.wmat).
+                params = jax.jit(quant_mod.quantize_decoder_params_int4)(
+                    params
+                )
+                _1chip = mesh is None or mesh.devices.size == 1
+                if (
+                    _1chip
+                    and jax.default_backend() == "tpu"
+                    and os.environ.get("LLMRANKERS_NO_INT4_KERNEL") != "1"
+                ):
+                    cfg = dataclasses.replace(cfg, int4_kernel=True)
+            elif kind == "decoder":
                 # Weight-only W8A16: decode is weight-streaming-bound, so
                 # halved weight bytes ~ doubled decode throughput; XLA
                 # fuses the dequant into the matmul producer.
@@ -210,7 +231,7 @@ class ScoringEngine:
             self.params
         ):
             raise ValueError(
-                "cannot apply LoRA adapters to int8-quantized weights; "
+                "cannot apply LoRA adapters to quantized weights; "
                 "merge the adapter first, then quantize"
             )
         if isinstance(adapter, str):

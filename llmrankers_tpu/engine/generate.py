@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..models import decoder as dec_mod
 from ..models import t5 as t5_mod
 from ..models.config import DecoderConfig, T5Config
-from ..models.quant import wmat
+from ..models.quant import qmm
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 
 NEG_INF = -1e9
@@ -48,6 +48,22 @@ def _kv_quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
     q = jnp.clip(jnp.round(xf / amax * 127.0), -127, 127).astype(jnp.int8)
     return q, amax / 127.0
+
+
+def _qkv(lp, hn, cfg):
+    """q/k/v projections via the quant-state dispatcher (models/quant.qmm):
+    bf16, w8a16 int8, or the Pallas W4A8 int4 kernel when cfg.int4_kernel."""
+    return (qmm(lp, "wq", hn, cfg.int4_kernel),
+            qmm(lp, "wk", hn, cfg.int4_kernel),
+            qmm(lp, "wv", hn, cfg.int4_kernel))
+
+
+def _ffn(lp, hn, cfg):
+    """SwiGLU FFN through the same quant-state dispatch as _qkv."""
+    g = jax.nn.silu(qmm(lp, "w_gate", hn, cfg.int4_kernel))
+    return qmm(lp, "w_down", g * qmm(lp, "w_up", hn, cfg.int4_kernel),
+               cfg.int4_kernel)
+
 
 
 # ---------------------------------------------------------------------------
@@ -202,9 +218,7 @@ def decoder_prefill(
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = hn @ wmat(lp, "wq")
-        k = hn @ wmat(lp, "wk")
-        v = hn @ wmat(lp, "wv")
+        q, k, v = _qkv(lp, hn, cfg)
         if cfg.attention_bias:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
@@ -223,10 +237,9 @@ def decoder_prefill(
         a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + a @ wmat(lp, "wo")
+        h = h + qmm(lp, "wo", a, cfg.int4_kernel)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
-             * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
+        f = _ffn(lp, hn, cfg)
         # Cache padded out to T along the length axis.
         if cfg.kv_quant:
             k8, ks = _kv_quant(k)
@@ -278,9 +291,7 @@ def _prefill_layers(
         else:
             lp = xs
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = hn @ wmat(lp, "wq")
-        k = hn @ wmat(lp, "wk")
-        v = hn @ wmat(lp, "wv")
+        q, k, v = _qkv(lp, hn, cfg)
         if cfg.attention_bias:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
@@ -303,10 +314,9 @@ def _prefill_layers(
         a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + a @ wmat(lp, "wo")
+        h = h + qmm(lp, "wo", a, cfg.int4_kernel)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
-             * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
+        f = _ffn(lp, hn, cfg)
         return h + f, (k, v)
 
     xs = (params["layers"], pre_k, pre_v) if have_pre else params["layers"]
@@ -444,9 +454,7 @@ def decoder_decode_chunk(
         def layer(h, xs):
             lp, kcl, vcl = xs
             hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-            q = hn @ wmat(lp, "wq")
-            k = hn @ wmat(lp, "wk")
-            v = hn @ wmat(lp, "wv")
+            q, k, v = _qkv(lp, hn, cfg)
             if cfg.attention_bias:
                 q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
             q = q.reshape(B, H, Dh)
@@ -500,10 +508,10 @@ def decoder_decode_chunk(
                 )
                 + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
             ) / z[..., None]
-            h = h + a.astype(dtype).reshape(B, H * Dh) @ wmat(lp, "wo")
+            h = h + qmm(lp, "wo", a.astype(dtype).reshape(B, H * Dh),
+                        cfg.int4_kernel)
             hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-            f = (jax.nn.silu(hn @ wmat(lp, "w_gate"))
-                 * (hn @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
+            f = _ffn(lp, hn, cfg)
             return h + f, (k, v)
 
         h, (k_new, v_new) = jax.lax.scan(layer, x, (params["layers"], kc, vc))
@@ -690,9 +698,7 @@ def decoder_spec_decode_chunk(
         def layer(h, xs):
             lp, kcl, vcl = xs
             hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-            q = hn @ wmat(lp, "wq")
-            k = hn @ wmat(lp, "wk")
-            v = hn @ wmat(lp, "wv")
+            q, k, v = _qkv(lp, hn, cfg)
             if cfg.attention_bias:
                 q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
             q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
@@ -773,10 +779,9 @@ def decoder_spec_decode_chunk(
                 .transpose(0, 2, 1, 3)
                 .reshape(B, S, H * Dh)
             )
-            h = h + a @ wmat(lp, "wo")
+            h = h + qmm(lp, "wo", a, cfg.int4_kernel)
             hn2 = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-            f = (jax.nn.silu(hn2 @ wmat(lp, "w_gate"))
-                 * (hn2 @ wmat(lp, "w_up"))) @ wmat(lp, "w_down")
+            f = _ffn(lp, hn2, cfg)
             return h + f, (k, v)
 
         h, (k_new, v_new) = jax.lax.scan(layer, x, (params["layers"], kc, vc))

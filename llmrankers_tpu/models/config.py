@@ -125,6 +125,11 @@ class DecoderConfig:
     # HBM stream during decode and the per-row cache footprint. Set by
     # the engine via kv_quantize='int8'.
     kv_quant: bool = False
+    # Route int4-packed matmul sites through the Pallas W4A8 kernel
+    # (set by the engine for single-device TPU when quantize='int4';
+    # multi-device GSPMD uses the XLA unpack path). See
+    # ops/int4_matmul.py.
+    int4_kernel: bool = False
 
     @property
     def head_dim_(self) -> int:

@@ -40,23 +40,59 @@ T5_TARGETS = (
     "wi", "wi_0", "wi_1", "wo",
 )
 SCALE_SUFFIX = "_scale"
+SCALE4_SUFFIX = "_scale4"  # marks a nibble-packed int4 leaf
 
 
 def wmat(lp: Dict[str, Any], name: str) -> jax.Array:
     """The (dequantized) weight for a matmul site. For unquantized params
     this is the leaf itself; for int8 it multiplies in the per-channel
     scale — XLA fuses this into the consuming matmul, so the int8 bytes
-    are what crosses HBM."""
+    are what crosses HBM. For int4-packed leaves this is the XLA unpack
+    fallback (kernel-path callers use :func:`qmm` instead)."""
     w = lp[name]
+    s4 = lp.get(name + SCALE4_SUFFIX)
+    if s4 is not None:
+        from ..ops.int4_matmul import unpack_int4
+
+        return unpack_int4(w, s4).astype(s4.dtype)
     s = lp.get(name + SCALE_SUFFIX)
     if s is None:
         return w
     return w.astype(s.dtype) * s
 
 
+def qmm(lp: Dict[str, Any], name: str, x: jax.Array,
+        kernel: bool = False) -> jax.Array:
+    """``x @ weight`` for a matmul site of any quantization state.
+
+    ``kernel=True`` (cfg.int4_kernel: single-chip TPU) routes int4-packed
+    sites through the Pallas W4A8 kernel (ops/int4_matmul.py) — halved
+    weight HBM traffic AND int8-MXU dots. Everything else (bf16, int8
+    w8a16, int4 off-kernel) goes through :func:`wmat`, whose dequant XLA
+    fuses into the matmul."""
+    if (
+        kernel
+        and (name + SCALE4_SUFFIX) in lp
+        and lp[name].shape[-1] % 128 == 0  # kernel needs lane-tileable N;
+        # narrow sites (e.g. tiny-model kv projections) dequant via XLA
+    ):
+        from ..ops.int4_matmul import quantized_matmul_int4
+
+        return quantized_matmul_int4(
+            x, lp[name], lp[name + SCALE4_SUFFIX],
+            interpret=jax.default_backend() != "tpu",
+        )
+    # astype: int4's f32 group scales would otherwise promote a bf16
+    # activation to f32 and break scan carry dtypes (no-op off-int4)
+    return (x @ wmat(lp, name)).astype(x.dtype)
+
+
 def is_quantized(params: Dict[str, Any]) -> bool:
     layers = params.get("layers", {})
-    return any((t + SCALE_SUFFIX) in layers for t in QUANT_TARGETS)
+    return any(
+        (t + SCALE_SUFFIX) in layers or (t + SCALE4_SUFFIX) in layers
+        for t in QUANT_TARGETS
+    )
 
 
 def _quantize_layer_stack(layers: Dict[str, Any], targets, dtype):
@@ -82,6 +118,39 @@ def quantize_decoder_params(params: Dict[str, Any], dtype=jnp.bfloat16):
     dtype. Returns a new param pytree; non-target leaves are shared."""
     out = dict(params)
     out["layers"] = _quantize_layer_stack(params["layers"], QUANT_TARGETS, dtype)
+    return out
+
+
+def quantize_decoder_params_int4(params: Dict[str, Any]):
+    """Group-wise int4 quantization + nibble packing of the stacked
+    decoder matmul weights (group = 128-512 along the input dim, see
+    ops/int4_matmul.py). The packed leaf keeps the ORIGINAL name (shape
+    [L, in/2, out]) with a sibling ``<name>_scale4`` [L, nk, out] f32, so
+    the layer scan structure is unchanged. Embeddings, norms, biases and
+    lm_head stay in the original dtype.
+
+    Sites whose input dim admits no quantization group (K not divisible
+    by 128 — only toy configs in practice) fall back to per-channel int8
+    for that leaf; :func:`wmat`/:func:`qmm` dispatch per leaf, so mixed
+    int4/int8 params are fine."""
+    from ..ops.int4_matmul import choose_group, pack_int4
+
+    layers = dict(params["layers"])
+    for name in QUANT_TARGETS:
+        if name not in layers:
+            continue
+        if choose_group(layers[name].shape[-2]) == 0:
+            layers.update(
+                _quantize_layer_stack(
+                    {name: layers[name]}, (name,), jnp.bfloat16
+                )
+            )
+            continue
+        packed, scales = pack_int4(layers[name])
+        layers[name] = packed
+        layers[name + SCALE4_SUFFIX] = scales
+    out = dict(params)
+    out["layers"] = layers
     return out
 
 

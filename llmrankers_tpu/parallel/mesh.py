@@ -164,6 +164,16 @@ def decoder_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         if sk in layers:
             w_spec = lspecs[name]
             lspecs[sk] = P(None, None, w_spec[2] if len(w_spec) == 3 else None)
+    # int4 nibble packing interleaves k-groups along the packed input dim
+    # (ops/int4_matmul.py::pack_int4), so input-dim sharding would split
+    # groups; shard packed weights and their group scales on the OUTPUT
+    # dim only (GSPMD re-shards the consuming matmul as needed — int4 is
+    # a single-chip serving feature, the mesh path is correctness-only).
+    for name in list(lspecs):
+        sk4 = name + "_scale4"
+        if sk4 in layers:
+            lspecs[name] = P(None, None, "model")
+            lspecs[sk4] = P(None, None, "model")
     specs: Dict[str, Any] = {
         "embed": P("model", None),
         "layers": lspecs,

@@ -66,7 +66,7 @@ def test_quantized_engine_paths(tiny):
     texts2, _ = q8.generate(rows, max_new_tokens=8, chunk_tokens=4)
     assert len(texts2) == 3
 
-    with pytest.raises(ValueError, match="int8-quantized"):
+    with pytest.raises(ValueError, match="quantized weights"):
         q8.add_adapter("a", {}, None)
 
 
