@@ -32,7 +32,17 @@ logger = logging.getLogger(__name__)
 
 def _bucket_list(text: str):
     """Sorted positive-int ladder; engine._bucket takes the FIRST entry
-    >= n, so an unsorted ladder would silently over-pad."""
+    >= n, so an unsorted ladder would silently over-pad. "auto" /
+    "auto:K" pass through (DP re-planned ladder, utils/bucketplan.py)."""
+    if text == "auto" or text.startswith("auto:"):
+        if ":" in text:
+            try:
+                if int(text.split(":", 1)[1]) < 1:
+                    raise ValueError
+            except ValueError:
+                raise argparse.ArgumentTypeError(
+                    "auto:K needs a positive int K")
+        return text
     try:
         vals = sorted({int(x) for x in text.split(",") if x.strip()})
     except ValueError:
@@ -131,7 +141,10 @@ def build_parsers():
                             "'512,640,1024' (default: the engine's "
                             "general-purpose ladder). Fewer buckets = "
                             "fewer compiles; tighter buckets = less "
-                            "padding waste")
+                            "padding waste. 'auto' (or 'auto:K') starts "
+                            "on the default ladder and swaps in a "
+                            "DP-optimal K-rung ladder planned from the "
+                            "first ~4k observed row lengths")
     run_p.add_argument("--max_batch_tokens", type=_positive_int,
                        default=None,
                        help="per-dispatch token budget B*L (default 2^17); "

@@ -20,6 +20,7 @@ compiles once; the jit cache is keyed on bucket shape. Batches ride a
 from __future__ import annotations
 
 import functools
+import logging
 import sys
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -35,6 +36,8 @@ from ..models.config import DecoderConfig, T5Config
 from ..parallel import mesh as mesh_mod
 from . import generate as gen_mod
 from .tokenizer import Tokenizer
+
+logger = logging.getLogger(__name__)
 
 # Finer length granularity pays: the benchmark's ~600-token setwise
 # prompts ran 2x faster in a 640 bucket than spilling into 1024.
@@ -73,8 +76,12 @@ class ScoringEngine:
         params,
         tokenizer: Tokenizer,
         mesh=None,
-        len_buckets: Sequence[int] = DEFAULT_LEN_BUCKETS,
+        # a rung ladder, or "auto"/"auto:K" to start from the default
+        # ladder and re-plan it DP-optimally from observed row lengths
+        # (utils/bucketplan.py) once auto_plan_rows rows have been seen
+        len_buckets: Any = DEFAULT_LEN_BUCKETS,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        auto_plan_rows: int = 4096,
         max_batch_tokens: int = 2**17,
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
@@ -169,6 +176,23 @@ class ScoringEngine:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mesh = mesh if mesh is not None else mesh_mod.single_device_mesh()
+        # "auto"/"auto:K": serve on the default ladder while recording
+        # true row lengths; after auto_plan_rows rows, swap in the
+        # DP-optimal ladder (scoring results are padding-invariant, so
+        # the swap only changes compile shapes and padded-token waste).
+        self._auto_buckets = 0
+        if isinstance(len_buckets, str):
+            if len_buckets != "auto" and not len_buckets.startswith("auto:"):
+                raise ValueError(f"len_buckets: unknown mode {len_buckets!r}")
+            self._auto_buckets = (
+                int(len_buckets.split(":", 1)[1]) if ":" in len_buckets
+                else len(DEFAULT_LEN_BUCKETS)
+            )
+            if self._auto_buckets < 1:
+                raise ValueError("len_buckets auto:K needs K >= 1")
+            len_buckets = DEFAULT_LEN_BUCKETS
+        self._auto_plan_rows = auto_plan_rows
+        self._auto_lens: List[int] = []
         self.len_buckets = tuple(len_buckets)
         self.batch_buckets = tuple(batch_buckets)
         self.max_batch_tokens = max_batch_tokens
@@ -301,6 +325,39 @@ class ScoringEngine:
     # ------------------------------------------------------------------
     # Host-side padding/bucketing
     # ------------------------------------------------------------------
+    def _record_lengths(self, rows: List[List[int]]) -> None:
+        """auto len_buckets: accumulate true row lengths; once
+        auto_plan_rows have been seen, swap in the DP-optimal ladder
+        (utils/bucketplan.py). One-shot — the planned ladder then serves
+        the rest of the run. Thread-safe under the stats lock; batches
+        already in flight keep their old shapes (padding-invariant)."""
+        from ..utils.bucketplan import ladder_waste, optimal_buckets
+
+        with self._stats_lock:
+            if not self._auto_buckets:  # planned while we waited
+                return
+            self._auto_lens.extend(len(r) for r in rows)
+            if len(self._auto_lens) < self._auto_plan_rows:
+                return
+            lens = self._auto_lens
+            k = self._auto_buckets
+            self._auto_buckets = 0  # plan exactly once
+            self._auto_lens = []
+        planned = optimal_buckets(lens, max_buckets=k)
+        cap = self._ctx_cap()
+        if cap:
+            planned = tuple(min(b, cap) for b in planned)
+            planned = tuple(dict.fromkeys(planned))  # dedupe, keep order
+        before = ladder_waste(lens, self.len_buckets)
+        after = ladder_waste(lens, planned)
+        logger.info(
+            "len_buckets auto: planned %s from %d rows "
+            "(padded-token waste %d -> %d, %.1f%%)",
+            planned, len(lens), before, after,
+            100.0 * (1 - after / before) if before else 0.0,
+        )
+        self.len_buckets = planned
+
     def _pad_batch(
         self, rows: List[List[int]], left: bool = False,
         b_cap: Optional[int] = None,
@@ -314,6 +371,8 @@ class ScoringEngine:
 
         n = len(rows)
         max_len = max((len(r) for r in rows), default=1)
+        if self._auto_buckets:
+            self._record_lengths(rows)
         L = self._cap_len(_bucket(max_len, self.len_buckets), max_len)
         if L < max_len:  # context cap hit: count every truncated row
             cut = sum(1 for r in rows if len(r) > L)

@@ -147,7 +147,9 @@ def _kernel_w4a8(
     d_lo = jnp.dot(q[:, :half], lo16, preferred_element_type=jnp.int32)
     d_hi = jnp.dot(q[:, half:], hi, preferred_element_type=jnp.int32)
     d = d_lo.astype(jnp.float32) * 0.0625 + d_hi.astype(jnp.float32)
-    acc_ref[:] += d * s_ref[k] * sw_ref[:]
+    # sw_ref holds ALL nk group-scale rows (a (1, bn) block would break
+    # Mosaic's sublane-divisibility rule); index the k-th dynamically.
+    acc_ref[:] += d * s_ref[k] * sw_ref[k]
 
     @pl.when(k == nk - 1)
     def _():
@@ -195,6 +197,7 @@ def _w4a8_matmul_2d(
             + 2 * bm_ * bn_  # out tile
             + res_bytes
             + nk * bm_ * (bk + 4)  # q + s caches
+            + nk * bn_ * 4  # full group-scale block
             + bm_ * bk * 4  # f32 temp during quantize
             + 2 * bk * bn_  # int32->int8 unpack temporaries (lo16/hi)
         )
@@ -215,7 +218,8 @@ def _w4a8_matmul_2d(
         pl.BlockSpec(
             (bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nk, bn), lambda i, j, k: (0, j),
+                     memory_space=pltpu.VMEM),
     ]
     operands = [x, p4, sw.astype(jnp.float32)]
     if has_res:
