@@ -121,32 +121,47 @@ def quantize_decoder_params(params: Dict[str, Any], dtype=jnp.bfloat16):
     return out
 
 
-def quantize_decoder_params_int4(params: Dict[str, Any]):
-    """Group-wise int4 quantization + nibble packing of the stacked
-    decoder matmul weights (group = 128-512 along the input dim, see
-    ops/int4_matmul.py). The packed leaf keeps the ORIGINAL name (shape
-    [L, in/2, out]) with a sibling ``<name>_scale4`` [L, nk, out] f32, so
-    the layer scan structure is unchanged. Embeddings, norms, biases and
-    lm_head stay in the original dtype.
+# int4 sites below this weight count stay int8: the W4A8 kernel's
+# per-pallas_call overhead (~8us: launch + pipeline prologue) swamps
+# its halved DMA on small tiles. On a Qwen2.5-3B shape this routes the
+# FFN (w_gate/w_up/w_down: 77% of layer weights, ~11MB/call) to the
+# int4 kernel and the attention projections (wq/wk/wv/wo: 0.5-4M
+# params, ~15us of DMA each as int8) to the fused-dequant int8 path —
+# measured faster than either all-int4 or all-int8 at decode.
+INT4_MIN_SITE_PARAMS = 8 * 2**20
 
-    Sites whose input dim admits no quantization group (K not divisible
-    by 128 — only toy configs in practice) fall back to per-channel int8
-    for that leaf; :func:`wmat`/:func:`qmm` dispatch per leaf, so mixed
-    int4/int8 params are fine."""
+
+def quantize_decoder_params_int4(
+    params: Dict[str, Any], min_site_params: int = INT4_MIN_SITE_PARAMS
+):
+    """Mixed int4/int8 quantization of the stacked decoder matmul
+    weights. Large sites (>= INT4_MIN_SITE_PARAMS weights — the FFN in
+    practice) get group-wise int4 nibble packing (group = 128-512 along
+    the input dim, see ops/int4_matmul.py): the packed leaf keeps the
+    ORIGINAL name (shape [L, in/2, out]) with a sibling
+    ``<name>_scale4`` [L, nk, out] f32, so the layer scan structure is
+    unchanged. Small sites — and sites whose input dim admits no
+    quantization group (K not divisible by 128) — get per-channel int8
+    (W8A16, models/quant.py): :func:`wmat`/:func:`qmm` dispatch per
+    leaf, so mixed int4/int8 params are uniform to callers. Embeddings,
+    norms, biases and lm_head stay in the original dtype."""
     from ..ops.int4_matmul import choose_group, pack_int4
 
     layers = dict(params["layers"])
     for name in QUANT_TARGETS:
         if name not in layers:
             continue
-        if choose_group(layers[name].shape[-2]) == 0:
+        w = layers[name]
+        site_params = w.shape[-2] * w.shape[-1]
+        if (
+            choose_group(w.shape[-2]) == 0
+            or site_params < min_site_params
+        ):
             layers.update(
-                _quantize_layer_stack(
-                    {name: layers[name]}, (name,), jnp.bfloat16
-                )
+                _quantize_layer_stack({name: w}, (name,), jnp.bfloat16)
             )
             continue
-        packed, scales = pack_int4(layers[name])
+        packed, scales = pack_int4(w)
         layers[name] = packed
         layers[name + SCALE4_SUFFIX] = scales
     out = dict(params)

@@ -9,22 +9,27 @@ nibble-packed int8 with unpack arithmetic decays to 4.5 bytes/weight of
 traffic; native ``jnp.int4`` arrays were slower still), so the unpack
 must happen in VMEM inside a kernel — this module.
 
-The unpack trick (measured exact, /tmp probe → tests/test_int4_matmul.py):
-a packed byte ``p = (hi4 << 4) | lo_u`` satisfies, in 8-bit two's
-complement,
+The unpack trick (on-chip probes: this Mosaic build vectorizes int8
+bitwise AND but rejects int8/int16 shifts, multiplies, and subtracts —
+everything else must run at 4x-wider int32 lanes, which made a
+shift-based unpack VPU-bound and erased the DMA win). The packing is
+chosen so BOTH nibble planes extract with a single int8 AND:
 
-    (p << 4) == 16 * lo4        (lo4 = SIGNED int4 of the low nibble)
-    (p >> 4) == hi4             (arithmetic shift; byte sign = hi sign)
+    byte p = (hi4 << 4) | (lo4 + 8)     per (k-group, out-channel)
 
-so with the k-block's weight rows split half/half into lo/hi nibbles,
+    p & 0xF0 == 16 * hi4                 (signed: high bits ARE the sign)
+    p & 0x0F == lo4 + 8                  (unsigned biased low nibble)
 
-    x @ W_block == dot(x[:, :bk/2], p << 4) / 16 + dot(x[:, bk/2:], p >> 4)
+With the k-block's weight rows split half/half into lo/hi planes,
 
-— TWO half-K int8 MXU dots (same total MXU work as one full-K dot), ONE
-VPU shift per packed byte per dot, no sign-extension, no concat, and the
-1/16 folds into the f32 accumulation for exact integer results. Mosaic
-rejects shifts on int8 vectors, so the shifts run at int32 width and
-cast back (still cheap next to the halved DMA).
+    x @ W_block == [ dot(q_hi, p & 0xF0) / 16
+                   + dot(q_lo, p & 0x0F) - 8 * rowsum(q_lo) ] * scales
+
+— TWO half-K int8 MXU dots (same total MXU work as one full-K dot), TWO
+int8-density ANDs per packed byte, and a per-(row, k-block) activation
+row-sum (computed once alongside the activation quantize and cached
+across the N loop) that cancels the +8 bias exactly in int32. The 1/16
+folds into the f32 accumulation; all integer math is exact.
 
 Quantization recipe (finer-grained than the int8 path):
   * weights: symmetric int4 in [-7, 7], per (k-group, output channel)
@@ -71,9 +76,9 @@ def pack_int4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
     ``w``: [..., K, N] float. Returns (packed [..., K/2, N] int8,
     scales [..., nk, N] f32) where nk = K // choose_group(K) and packed
-    row layout per group g is: rows [gG, gG+G/2) in the LOW nibbles,
-    rows [gG+G/2, (g+1)G) in the HIGH nibbles — the order the kernel's
-    two-dot unpack reconstructs.
+    row layout per group g is: rows [gG, gG+G/2) as BIASED low nibbles
+    (lo4 + 8), rows [gG+G/2, (g+1)G) as signed HIGH nibbles — the
+    layout the kernel's two-AND unpack reconstructs (module docstring).
     """
     K, N = w.shape[-2], w.shape[-1]
     G = choose_group(K)
@@ -84,7 +89,7 @@ def pack_int4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8)
     scale = amax / 7.0  # [-7, 7]: symmetric, -8 unused
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32)
-    lo = q[..., : G // 2, :]
+    lo = q[..., : G // 2, :] + 8  # biased to [1, 15]
     hi = q[..., G // 2:, :]
     packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
     return (
@@ -103,7 +108,7 @@ def unpack_int4(packed: jax.Array, scales: jax.Array) -> jax.Array:
     G = 2 * Kh // nk
     lead = packed.shape[:-2]
     p32 = packed.astype(jnp.int32).reshape(*lead, nk, G // 2, N)
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+    lo = (p32 & 0xF) - 8  # biased low nibble (pack_int4 layout)
     hi = jax.lax.shift_right_arithmetic(p32, 4)
     q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
     w = q * scales[..., None, :]
@@ -113,14 +118,15 @@ def unpack_int4(packed: jax.Array, scales: jax.Array) -> jax.Array:
 def _kernel_w4a8(
     x_ref, p_ref, sw_ref, *rest, nk: int, half: int, has_res: bool
 ):
-    """Fused-quantize W4A8 tile kernel. Grid (i, j, k), k fastest:
-    the activation tile is quantized once per (i, k) into scratch and
+    """Fused-quantize W4A8 tile kernel. Grid (i, j, k), k fastest: the
+    activation tile is quantized once per (i, k) into scratch — along
+    with its lo-plane row-sum for the zero-point correction — and
     reused across j (same caching as _kernel_fusedq in int8_matmul)."""
     if has_res:
-        res_ref, o_ref, acc_ref, q_ref, s_ref = rest
+        res_ref, o_ref, acc_ref, q_ref, s_ref, z_ref = rest
     else:
         res_ref = None
-        o_ref, acc_ref, q_ref, s_ref = rest
+        o_ref, acc_ref, q_ref, s_ref, z_ref = rest
     j = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -133,20 +139,27 @@ def _kernel_w4a8(
         x = x_ref[:].astype(jnp.float32)
         amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
         scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-        q_ref[k] = jnp.clip(
+        q8 = jnp.clip(
             jnp.round(x * pl.reciprocal(scale, approx=False)), -127, 127
         ).astype(jnp.int8)
+        q_ref[k] = q8
         s_ref[k] = scale
+        z_ref[k] = 8 * jnp.sum(
+            q8[:, :half].astype(jnp.int32), axis=1, keepdims=True
+        )
 
-    p32 = p_ref[:].astype(jnp.int32)  # [bk/2, bn]
-    lo16 = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(p32, 28), 24
-    ).astype(jnp.int8)  # == 16 * lo4
-    hi = jax.lax.shift_right_arithmetic(p32, 4).astype(jnp.int8)
+    # Two-AND unpack (module docstring): int8-density bitwise ops only —
+    # this Mosaic build has no int8/int16 shifts, muls, or subs, and an
+    # int32-width unpack is VPU-bound at decode shapes (measured: erased
+    # the halved-DMA win entirely).
+    p = p_ref[:]  # [bk/2, bn]
+    lo = jax.lax.bitwise_and(p, jnp.int8(0x0F))  # lo4 + 8, in [1, 15]
+    hi16 = jax.lax.bitwise_and(p, jnp.int8(-16))  # == 16 * hi4
     q = q_ref[k]
-    d_lo = jnp.dot(q[:, :half], lo16, preferred_element_type=jnp.int32)
-    d_hi = jnp.dot(q[:, half:], hi, preferred_element_type=jnp.int32)
-    d = d_lo.astype(jnp.float32) * 0.0625 + d_hi.astype(jnp.float32)
+    d_lo = jnp.dot(q[:, :half], lo, preferred_element_type=jnp.int32)
+    d_hi = jnp.dot(q[:, half:], hi16, preferred_element_type=jnp.int32)
+    d = (d_lo - z_ref[k]).astype(jnp.float32) \
+        + d_hi.astype(jnp.float32) * 0.0625
     # sw_ref holds ALL nk group-scale rows (a (1, bn) block would break
     # Mosaic's sublane-divisibility rule); index the k-th dynamically.
     acc_ref[:] += d * s_ref[k] * sw_ref[k]
@@ -180,11 +193,14 @@ def _w4a8_matmul_2d(
         raise ValueError(f"scales shape {sw.shape} inconsistent with K={K}")
     if N % 128:
         raise ValueError(f"int4 matmul needs 128-multiple N, got {N}")
-    bn = N if N <= bn_cap else max(
-        (t for t in range(128, bn_cap + 1, 128) if N % t == 0), default=0
-    )
-    if bn == 0:
-        raise ValueError(f"no 128-multiple block divisor for N={N}")
+    # Balanced ceil-division N tiling: bn need NOT divide N — Pallas
+    # masks the partial last tile (garbage stays in dropped columns).
+    # Divisor-only tiling forced bn=256 on N=11008 (86 j-tiles x nk
+    # k-steps ~ 14k grid steps per decode forward; grid-step overhead
+    # erased the DMA win).
+    nj = -(-N // bn_cap)
+    cols128 = -(-N // 128)
+    bn = 128 * (-(-cols128 // nj))
     # bf16 x tiles need 16-row multiples; small-M decode pads M little.
     bm = min(bm_cap, max(16, -(-M // 16) * 16))
     xbytes = x.dtype.itemsize
@@ -196,15 +212,20 @@ def _w4a8_matmul_2d(
             + 4 * bm_ * bn_  # f32 acc
             + 2 * bm_ * bn_  # out tile
             + res_bytes
-            + nk * bm_ * (bk + 4)  # q + s caches
+            + nk * bm_ * (bk + 8)  # q + s + zsum caches
             + nk * bn_ * 4  # full group-scale block
-            + bm_ * bk * 4  # f32 temp during quantize
-            + 2 * bk * bn_  # int32->int8 unpack temporaries (lo16/hi)
+            + 3 * bm_ * bk * 4  # f32 temps during quantize (x, scaled, q)
+            + 2 * bk * bn_  # int8 unpack temporaries (lo/hi16)
+            + 3 * 4 * bm_ * bn_  # dot outputs d_lo/d_hi (i32) + d (f32)
         )
 
-    while bm > 16 and _vmem(bm, bn) > 13 * 2**20:
+    # 10MB budget against the 16MB scoped-vmem limit (Mosaic stacks
+    # more temporaries than the terms above; measured 17.7M actual on
+    # [12288,11008,2048] when the estimate said 8.3M before the dot-
+    # output term was counted — keep headroom).
+    while bm > 16 and _vmem(bm, bn) > 10 * 2**20:
         bm //= 2
-    while bn > 128 and _vmem(bm, bn) > 13 * 2**20:
+    while bn > 128 and _vmem(bm, bn) > 10 * 2**20:
         bn //= 2
     pad = (-M) % bm
     if pad:
@@ -232,7 +253,7 @@ def _w4a8_matmul_2d(
         functools.partial(
             _kernel_w4a8, nk=nk, half=bk // 2, has_res=has_res
         ),
-        grid=(Mp // bm, N // bn, nk),
+        grid=(Mp // bm, nj, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
@@ -242,6 +263,7 @@ def _w4a8_matmul_2d(
             pltpu.VMEM((bm, bn), jnp.float32),
             pltpu.VMEM((nk, bm, bk), jnp.int8),
             pltpu.VMEM((nk, bm, 1), jnp.float32),
+            pltpu.VMEM((nk, bm, 1), jnp.int32),  # 8*rowsum(q_lo)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")

@@ -158,7 +158,9 @@ def test_decoder_forward_int4_kernel_matches_bf16():
     )
     params = dec_mod.init_params(cfg, jax.random.PRNGKey(0),
                                  dtype=jnp.float32)
-    qp = quant_mod.quantize_decoder_params_int4(params)
+    # min_site_params=0: tiny sites would otherwise take the int8 path
+    # (the production threshold routes only FFN-sized sites to int4)
+    qp = quant_mod.quantize_decoder_params_int4(params, min_site_params=0)
     layers = qp["layers"]
     for name in quant_mod.QUANT_TARGETS:
         assert (name + quant_mod.SCALE4_SUFFIX) in layers, name
@@ -170,6 +172,14 @@ def test_decoder_forward_int4_kernel_matches_bf16():
     ref = np.asarray(dec_mod.forward(params, cfg, ids, mask)[:, -1])
     # XLA unpack fallback (int4_kernel=False)
     got_xla = np.asarray(dec_mod.forward(qp, cfg, ids, mask)[:, -1])
+    # mixed-precision dispatch: at qwen-like dims the FFN packs int4
+    # while attention projections stay int8
+    qm = quant_mod.quantize_decoder_params_int4(
+        {"layers": {"wq": jnp.zeros((2, 2048, 2048)),
+                    "w_up": jnp.zeros((2, 2048, 11008))}}
+    )["layers"]
+    assert "wq_scale" in qm and "wq_scale4" not in qm
+    assert "w_up_scale4" in qm
     # Pallas kernel path (interpret on CPU)
     cfg_k = dataclasses.replace(cfg, int4_kernel=True)
     got_k = np.asarray(dec_mod.forward(qp, cfg_k, ids, mask)[:, -1])
@@ -256,17 +266,22 @@ def test_int4_on_mesh_xla_fallback():
         vocab_size=512, hidden_size=128, intermediate_size=256,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
     )
+    from llmrankers_tpu.models import quant as quant_mod
+
     params = dec_mod.init_params(cfg, jax.random.PRNGKey(0))
     tok = ByteTokenizer(cfg.vocab_size)
     mesh = mesh_mod.make_mesh(2, 2)
-    q4 = ScoringEngine("decoder", cfg, params, tok, mesh=mesh,
-                       quantize="int4")
+    # pre-pack with min_site_params=0 so the mesh pspecs see real
+    # scale4 leaves (the engine's threshold would int8 a tiny model)
+    qp = quant_mod.quantize_decoder_params_int4(params, min_site_params=0)
+    assert any(k.endswith("_scale4") for k in qp["layers"])
+    q4 = ScoringEngine("decoder", cfg, qp, tok, mesh=mesh)
     assert not q4.cfg.int4_kernel  # mesh: XLA fallback path
     rows = [list(range(2, 64)) for _ in range(4)]
     out = q4.score_labels(rows, [5, 6])
     assert np.all(np.isfinite(out))
     # mesh path agrees with the single-device XLA fallback
-    q4s = ScoringEngine("decoder", cfg, params, tok, quantize="int4")
+    q4s = ScoringEngine("decoder", cfg, qp, tok)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(q4s.score_labels(rows, [5, 6])),
         rtol=2e-2, atol=2e-2,
