@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..models import decoder as dec_mod
 from ..models import t5 as t5_mod
 from ..models.config import DecoderConfig, T5Config
+from ..models import quant
 from ..models.quant import qmm
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 
@@ -210,9 +211,9 @@ def decoder_prefill(
     B, L = input_ids.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     T = L + max_new_tokens
-    dtype = params["embed"].dtype
+    dtype = quant.embed_dtype(params)
 
-    x = params["embed"][input_ids]
+    x = quant.embed_rows(params, input_ids)
     pos = dec_mod.positions_from_mask(attn_mask)
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
 
@@ -275,7 +276,7 @@ def _prefill_layers(
     [Ld, B, KV, L, Dh], positions [B, L])."""
     B, L = input_ids.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    x = params["embed"][input_ids]
+    x = quant.embed_rows(params, input_ids)
     pos = dec_mod.positions_from_mask(attn_mask)
     if pos_offset is not None:
         pos = pos + pos_offset[:, None]
@@ -431,7 +432,7 @@ def decoder_decode_chunk(
     B = first_token.shape[0]
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     T = (k_cache[0] if cfg.kv_quant else k_cache).shape[3]
-    dtype = params["embed"].dtype
+    dtype = quant.embed_dtype(params)
     L = prompt_len
     if done is None:
         done = jnp.zeros((B,), bool)
@@ -441,7 +442,7 @@ def decoder_decode_chunk(
         t = offset + i
         # write position in the cache is L + t (append after the prompt);
         # RoPE position is per-row `pos`.
-        x = params["embed"][tok]  # [B, D]
+        x = quant.embed_rows(params, tok)  # [B, D]
         cos, sin = rope_cos_sin(pos[:, None], Dh, cfg.rope_theta, dtype=x.dtype)
 
         # The caches enter the layer scan as READ-ONLY xs. Writing them
@@ -617,7 +618,7 @@ def decoder_spec_decode_chunk(
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     G = H // KV
     T = (k_cache[0] if cfg.kv_quant else k_cache).shape[3]
-    dtype = params["embed"].dtype
+    dtype = quant.embed_dtype(params)
     pad_id = cfg.pad_token_id
     L = prompt_len
     if done is None:
@@ -691,7 +692,7 @@ def decoder_spec_decode_chunk(
         bt = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B, S]
 
         # --- verify: one S-token forward against the read-only cache ---
-        x = params["embed"][bt]  # [B, S, D]
+        x = quant.embed_rows(params, bt)  # [B, S, D]
         poss = pos[:, None] + jnp.arange(S)[None, :]
         cos, sin = rope_cos_sin(poss, Dh, cfg.rope_theta, dtype=x.dtype)
 

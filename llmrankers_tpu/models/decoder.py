@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 from .config import DecoderConfig
-from .quant import qmm
+from .quant import embed_rows as quant_embed_rows, qmm
 
 Params = Dict[str, Any]
 
@@ -60,7 +60,7 @@ def forward_hidden(
     """Returns (final hidden states [B, L, D], positions [B, L])."""
     B, L = input_ids.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    x = params["embed"][input_ids]
+    x = quant_embed_rows(params, input_ids)
     pos = positions_from_mask(attn_mask)
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
 
@@ -102,9 +102,20 @@ def forward_hidden(
 
 
 def lm_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax.Array:
+    # int8-head dispatch (models/quant.py::_quantize_head): dot the int8
+    # bytes, apply the per-token scale to the logit columns after — XLA
+    # fuses, so the head streams at half bytes each decode step.
     if cfg.tie_word_embeddings:
-        return hidden @ params["embed"].T
-    return hidden @ params["lm_head"]
+        w = params["embed"]
+        s = params.get("embed_scale")
+        if s is None:
+            return hidden @ w.T
+        return (hidden @ w.T.astype(s.dtype)) * s.T
+    w = params["lm_head"]
+    s = params.get("lm_head_scale")
+    if s is None:
+        return hidden @ w
+    return (hidden @ w.astype(s.dtype)) * s
 
 
 def label_logits(
@@ -112,9 +123,12 @@ def label_logits(
 ) -> jax.Array:
     """Logits for selected label tokens only ([D, K] matmul, not [D, V])."""
     if cfg.tie_word_embeddings:
-        w = params["embed"][label_ids].T
+        w = quant_embed_rows(params, label_ids).T
     else:
         w = params["lm_head"][:, label_ids]
+        s = params.get("lm_head_scale")
+        if s is not None:
+            w = w.astype(s.dtype) * s[:, label_ids]
     return hidden @ w
 
 

@@ -87,6 +87,49 @@ def qmm(lp: Dict[str, Any], name: str, x: jax.Array,
     return (x @ wmat(lp, name)).astype(x.dtype)
 
 
+def embed_rows(params: Dict[str, Any], ids: jax.Array) -> jax.Array:
+    """Embedding gather with per-row dequant when the table is int8
+    (quantize_head): gathers int8 rows and their scales, multiplies
+    after the gather — the int8 bytes are what crosses HBM."""
+    w = params["embed"]
+    s = params.get("embed_scale")
+    if s is None:
+        return w[ids]
+    return w[ids].astype(s.dtype) * s[ids]
+
+
+def embed_dtype(params: Dict[str, Any]):
+    """The activation dtype implied by the embedding table (its scale
+    dtype when the table is int8-quantized)."""
+    s = params.get("embed_scale")
+    return s.dtype if s is not None else params["embed"].dtype
+
+
+def _quantize_head(params: Dict[str, Any], dtype=jnp.bfloat16):
+    """int8-quantize the LM head — the single largest per-decode-step
+    HBM read after the layers (Qwen2.5-3B: 151936x2048 bf16 = 0.62GB
+    per step). Tied models quantize the embedding table per ROW (one
+    scale per token: exact for both the input gather and the logit
+    matmul's per-column dequant); untied models quantize ``lm_head``
+    per column and keep the input embedding table in bf16."""
+    out = dict(params)
+    if "lm_head" in params:
+        w = params["lm_head"].astype(jnp.float32)  # [D, V]
+        amax = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8)
+        out["lm_head"] = jnp.clip(
+            jnp.round(w / amax * 127.0), -127, 127
+        ).astype(jnp.int8)
+        out["lm_head_scale"] = (amax / 127.0).astype(dtype)
+    elif "embed" in params:  # tied: the embedding table IS the head
+        w = params["embed"].astype(jnp.float32)  # [V, D]
+        amax = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-8)
+        out["embed"] = jnp.clip(
+            jnp.round(w / amax * 127.0), -127, 127
+        ).astype(jnp.int8)
+        out["embed_scale"] = (amax / 127.0).astype(dtype)
+    return out
+
+
 def is_quantized(params: Dict[str, Any]) -> bool:
     layers = params.get("layers", {})
     return any(
@@ -112,11 +155,14 @@ def _quantize_layer_stack(layers: Dict[str, Any], targets, dtype):
     return out
 
 
-def quantize_decoder_params(params: Dict[str, Any], dtype=jnp.bfloat16):
+def quantize_decoder_params(
+    params: Dict[str, Any], dtype=jnp.bfloat16, quantize_head: bool = True
+):
     """Symmetric per-output-channel int8 quantization of the stacked
-    [L, in, out] matmul weights. ``dtype`` is the scale (and dequant)
-    dtype. Returns a new param pytree; non-target leaves are shared."""
-    out = dict(params)
+    [L, in, out] matmul weights, plus the LM head (:func:`_quantize_head`;
+    ``quantize_head=False`` keeps it bf16). ``dtype`` is the scale (and
+    dequant) dtype. Returns a new param pytree; other leaves shared."""
+    out = _quantize_head(params, dtype) if quantize_head else dict(params)
     out["layers"] = _quantize_layer_stack(params["layers"], QUANT_TARGETS, dtype)
     return out
 
@@ -132,7 +178,9 @@ INT4_MIN_SITE_PARAMS = 8 * 2**20
 
 
 def quantize_decoder_params_int4(
-    params: Dict[str, Any], min_site_params: int = INT4_MIN_SITE_PARAMS
+    params: Dict[str, Any],
+    min_site_params: int = INT4_MIN_SITE_PARAMS,
+    quantize_head: bool = True,
 ):
     """Mixed int4/int8 quantization of the stacked decoder matmul
     weights. Large sites (>= INT4_MIN_SITE_PARAMS weights — the FFN in
@@ -147,6 +195,7 @@ def quantize_decoder_params_int4(
     norms, biases and lm_head stay in the original dtype."""
     from ..ops.int4_matmul import choose_group, pack_int4
 
+    params = _quantize_head(params) if quantize_head else params
     layers = dict(params["layers"])
     for name in QUANT_TARGETS:
         if name not in layers:

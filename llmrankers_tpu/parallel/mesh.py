@@ -179,8 +179,12 @@ def decoder_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         "layers": lspecs,
         "final_ln": P(None),
     }
+    if "embed_scale" in params:  # int8 head (quant._quantize_head)
+        specs["embed_scale"] = P("model", None)
     if "lm_head" in params:
         specs["lm_head"] = P(None, "model")
+    if "lm_head_scale" in params:
+        specs["lm_head_scale"] = P(None, "model")
     return specs
 
 
