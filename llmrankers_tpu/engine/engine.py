@@ -130,13 +130,21 @@ class ScoringEngine:
                 # matmul sites through the Pallas W8A8 int8-MXU kernel
                 # (single-device; multi-device GSPMD meshes keep the
                 # w8a16 dequant path so sharding propagation holds).
-                params = jax.jit(quant_mod.quantize_t5_params)(params)
+                # On the kernel path sibling sites are PACKED into wide
+                # GEMM leaves (quant.T5_PACKS): qkv feeds flash with no
+                # slice copies, the gated FFN runs as one fused pass.
                 _1chip = mesh is None or mesh.devices.size == 1
-                if (
+                _kernel_on = (
                     _1chip
                     and jax.default_backend() == "tpu"
                     and os.environ.get("LLMRANKERS_NO_INT8_KERNEL") != "1"
-                ):
+                )
+                import functools as _ft
+
+                params = jax.jit(
+                    _ft.partial(quant_mod.quantize_t5_params, pack=_kernel_on)
+                )(params)
+                if _kernel_on:
                     cfg = dataclasses.replace(cfg, int8_kernel=True)
         if kv_quantize is not None:
             if kv_quantize != "int8":

@@ -93,7 +93,11 @@ def t5_greedy_generate(
         y = jnp.einsum("bld,xdi->xbli", enc_out, w, preferred_element_type=jnp.float32)
         return y.astype(dtype).reshape(Ld, B, L, H, Dh).transpose(0, 1, 3, 2, 4)
 
-    ck, cv = cross_kv(lyr["ck"]), cross_kv(lyr["cv"])
+    # t5_wmat: sites dequant/unpack transparently for any quant state
+    # (the scoring paths dispatch in t5._attn/_ffn; this incremental
+    # path consumes leaves directly, so it dispatches here).
+    ck = cross_kv(quant.t5_wmat(lyr, "ck", dtype))
+    cv = cross_kv(quant.t5_wmat(lyr, "cv", dtype))
     cross_mask = enc_mask.astype(bool)[:, None, :]  # [B, 1, L]
 
     k_cache = jnp.zeros((Ld, B, H, T, Dh), dtype)
@@ -131,9 +135,9 @@ def t5_greedy_generate(
         def layer(h, xs):
             lp, kcl, vcl, ckl, cvl = xs
             hn = rms_norm(h, lp["ln1"], cfg.layer_norm_epsilon)
-            q = (hn @ lp["q"]).reshape(B, H, Dh)
-            k_new = (hn @ lp["k"]).reshape(B, H, Dh)
-            v_new = (hn @ lp["v"]).reshape(B, H, Dh)
+            q = (hn @ quant.t5_wmat(lp, "q", dtype)).reshape(B, H, Dh)
+            k_new = (hn @ quant.t5_wmat(lp, "k", dtype)).reshape(B, H, Dh)
+            v_new = (hn @ quant.t5_wmat(lp, "v", dtype)).reshape(B, H, Dh)
             s = jnp.einsum("bhd,bhtd->bht", q, kcl, preferred_element_type=jnp.float32)
             s = s + bias_t[None].astype(s.dtype)
             s = jnp.where(self_mask, s, NEG_INF)
@@ -149,15 +153,19 @@ def t5_greedy_generate(
                            preferred_element_type=jnp.float32)
                 + p_self[..., None] * v_new.astype(jnp.float32)
             ) / z[..., None]
-            h = h + a.astype(dtype).reshape(B, H * Dh) @ lp["o"]
+            h = h + a.astype(dtype).reshape(B, H * Dh) @ quant.t5_wmat(
+                lp, "o", dtype
+            )
 
             hn2 = rms_norm(h, lp["ln2"], cfg.layer_norm_epsilon)
-            cq = (hn2 @ lp["cq"]).reshape(B, H, Dh)
+            cq = (hn2 @ quant.t5_wmat(lp, "cq", dtype)).reshape(B, H, Dh)
             s = jnp.einsum("bhd,bhld->bhl", cq, ckl, preferred_element_type=jnp.float32)
             s = jnp.where(cross_mask, s, NEG_INF)
             p = jax.nn.softmax(s, axis=-1).astype(dtype)
             a = jnp.einsum("bhl,bhld->bhd", p, cvl, preferred_element_type=jnp.float32)
-            h = h + a.astype(dtype).reshape(B, H * Dh) @ lp["co"]
+            h = h + a.astype(dtype).reshape(B, H * Dh) @ quant.t5_wmat(
+                lp, "co", dtype
+            )
 
             hn3 = rms_norm(h, lp["ln3"], cfg.layer_norm_epsilon)
             f = t5_mod._ffn(lp, cfg, hn3[:, None, :])[:, 0, :]

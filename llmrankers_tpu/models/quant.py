@@ -223,14 +223,92 @@ def is_quantized_t5(params: Dict[str, Any]) -> bool:
     return any((t + SCALE_SUFFIX) in layers for t in T5_TARGETS)
 
 
-def quantize_t5_params(params: Dict[str, Any], dtype=jnp.float32):
+# Packed multi-site leaves (single-chip kernel path): the fused GEMM
+# groups models/t5.py dispatches on. Each entry maps a packed leaf name
+# to the per-site leaves it replaces (concatenated along the output
+# axis). Encoder qkv feeds ops/flash.py::flash_mha_packed with zero
+# slice copies; wi_g feeds ops/int8_matmul.py::gated_matmul; the
+# decoder's cross ck|cv pack shares one wide GEMM and its output slices
+# fuse into the XLA attention consumers (decoder Lq=2 never takes the
+# flash path).
+T5_PACKS = {
+    "encoder": (("qkv", ("q", "k", "v")), ("wi_g", ("wi_0", "wi_1"))),
+    "decoder": (
+        ("qkv", ("q", "k", "v")),
+        ("ckv", ("ck", "cv")),
+        ("wi_g", ("wi_0", "wi_1")),
+    ),
+}
+
+
+def _pack_layer_stack(layers: Dict[str, Any], packs) -> Dict[str, Any]:
+    """Concatenate already-int8 sibling leaves into packed [L, K, sum(N)]
+    leaves (with matching packed scales), REPLACING the originals — the
+    non-kernel fallback paths slice the packed leaf instead (an XLA
+    slice, fused into its consumer)."""
+    out = dict(layers)
+    for packed_name, names in packs:
+        if not all(
+            n in out and (n + SCALE_SUFFIX) in out for n in names
+        ):
+            continue
+        out[packed_name] = jnp.concatenate([out[n] for n in names], axis=-1)
+        out[packed_name + SCALE_SUFFIX] = jnp.concatenate(
+            [out[n + SCALE_SUFFIX] for n in names], axis=-1
+        )
+        for n in names:
+            del out[n]
+            del out[n + SCALE_SUFFIX]
+    return out
+
+
+# name -> (packed leaf, slot index, slot count) for slicing a site back
+# out of its pack. Slots are equal-width (q/k/v and ck/cv share N; the
+# gated wi pair shares d_ff).
+T5_PACK_SLOTS = {
+    "q": ("qkv", 0, 3), "k": ("qkv", 1, 3), "v": ("qkv", 2, 3),
+    "ck": ("ckv", 0, 2), "cv": ("ckv", 1, 2),
+    "wi_0": ("wi_g", 0, 2), "wi_1": ("wi_g", 1, 2),
+}
+
+
+def t5_wmat(lp: Dict[str, Any], name: str, dtype=None) -> jax.Array:
+    """Dequantized weight for a T5 matmul site in ANY param state —
+    plain bf16, per-leaf int8, or packed int8 (T5_PACKS): packed leaves
+    are sliced back out (an XLA slice, fused into the dequant-matmul
+    consumer). Use this in paths that consume raw leaves (e.g. the T5
+    incremental decode in engine/generate.py) so they stay correct for
+    every quantization state."""
+    if name in lp:
+        w = wmat(lp, name)
+    else:
+        packed, idx, slots = T5_PACK_SLOTS[name]
+        w = lp[packed]
+        s = lp[packed + SCALE_SUFFIX]
+        N = w.shape[-1] // slots
+        sl = (..., slice(idx * N, (idx + 1) * N))
+        w = w[sl].astype(s.dtype) * s[sl]
+    return w if dtype is None else w.astype(dtype)
+
+
+def quantize_t5_params(
+    params: Dict[str, Any], dtype=jnp.float32, pack: bool = False
+):
     """int8-quantize every encoder/decoder per-layer matmul weight of a
     T5 param pytree (models/t5.py::init_params layout). Scales stay
     f32: the W8A8 kernel's epilogue multiplies them in f32 anyway, and
-    the w8a16 fallback casts at the matmul site."""
+    the w8a16 fallback casts at the matmul site.
+
+    ``pack=True`` (single-chip kernel path) additionally merges sibling
+    sites into packed leaves per :data:`T5_PACKS` — one wide GEMM each,
+    and for the encoder's qkv a slice-free handoff to flash attention.
+    Packed leaves cannot shard over 'model' (a contiguous split of the
+    packed axis mixes q/k/v), so multi-device engines keep pack=False."""
     out = dict(params)
     for block in ("encoder", "decoder"):
         sub = dict(params[block])
         sub["layers"] = _quantize_layer_stack(sub["layers"], T5_TARGETS, dtype)
+        if pack:
+            sub["layers"] = _pack_layer_stack(sub["layers"], T5_PACKS[block])
         out[block] = sub
     return out

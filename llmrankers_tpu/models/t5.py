@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import gelu_new, mha_flat, rms_norm
+from ..ops.attention import _gcd_int, gelu_new, mha_flat, rms_norm
 from .config import T5Config
 
 Params = Dict[str, Any]
@@ -160,6 +160,21 @@ def compute_bias(
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
+def _mm_packed(lp: Params, name: str, x: jax.Array, cfg: T5Config) -> jax.Array:
+    """GEMM against a packed multi-site leaf (quant.T5_PACKS): Pallas
+    W8A8 when worthwhile, XLA dequant otherwise. Returns the packed
+    [..., sum(N)] output; callers slice (or hand it whole to the packed
+    flash kernel)."""
+    w, s = lp[name], lp[name + _SCALE_SUFFIX]
+    if _kernel_worthwhile(x, w, cfg):
+        from ..ops.int8_matmul import quantized_matmul
+
+        return quantized_matmul(
+            x, w, s, interpret=jax.default_backend() != "tpu"
+        )
+    return (x @ (w.astype(x.dtype) * s.astype(x.dtype)))
+
+
 def _attn(
     lp: Params,
     prefix: str,
@@ -171,6 +186,35 @@ def _attn(
     causal: bool = False,
     residual: Optional[jax.Array] = None,
 ) -> jax.Array:
+    if kv_src is x and "qkv" in lp:  # packed self-attention (quant pack=True)
+        qkv = _mm_packed(lp, "qkv", x, cfg)
+        HD = qkv.shape[-1] // 3
+        Dh = HD // cfg.num_heads
+        hg = 128 // _gcd_int(Dh, 128)
+        if (
+            cfg.use_flash
+            and cfg.flash_mesh is None
+            and x.shape[1] >= 128
+            and HD % 128 == 0
+            and cfg.num_heads % hg == 0
+            and Dh % 8 == 0
+        ):
+            # Slice-free: the packed GEMM output goes straight into the
+            # flash kernel via offset index maps (flash_mha_packed).
+            from ..ops.flash import flash_mha_packed
+
+            out = flash_mha_packed(
+                qkv, cfg.num_heads, kv_mask=kv_mask, causal=causal,
+                bias=bias, scale=1.0,
+            )
+        else:
+            qp, kp, vp = (
+                qkv[..., :HD], qkv[..., HD:2 * HD], qkv[..., 2 * HD:]
+            )
+            out = mha_flat(qp, kp, vp, cfg.num_heads, kv_mask=kv_mask,
+                           causal=causal, bias=bias, scale=1.0,
+                           use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+        return _mm(lp, prefix + "o", out, cfg, residual=residual)
     if kv_src is x:  # self-attention: one fused qkv GEMM
         qp, kp, vp = _mm_fused(
             lp, (prefix + "q", prefix + "k", prefix + "v"), x, cfg
@@ -188,7 +232,23 @@ def _attn(
 
 def _ffn(lp: Params, cfg: T5Config, x: jax.Array,
          residual: Optional[jax.Array] = None) -> jax.Array:
-    if cfg.is_gated:
+    if cfg.is_gated and "wi_g" in lp:  # packed gate|up (quant pack=True)
+        w, s = lp["wi_g"], lp["wi_g" + _SCALE_SUFFIX]
+        if _kernel_worthwhile(x, w, cfg):
+            # One fused Pallas pass writes act(h0)*h1 directly — the
+            # [.., 2*d_ff] intermediate never touches HBM.
+            from ..ops.int8_matmul import gated_matmul
+
+            h = gated_matmul(
+                x, w, s, act=cfg.act_fn,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            act = gelu_new if cfg.act_fn == "gelu_new" else jax.nn.relu
+            hh = x @ (w.astype(x.dtype) * s.astype(x.dtype))
+            F = hh.shape[-1] // 2
+            h = act(hh[..., :F]) * hh[..., F:]
+    elif cfg.is_gated:
         act = gelu_new if cfg.act_fn == "gelu_new" else jax.nn.relu
         h0, h1 = _mm_fused(lp, ("wi_0", "wi_1"), x, cfg)
         h = act(h0) * h1
@@ -257,7 +317,14 @@ def decode_hidden(
 
 
 def _cross_attn(lp, cfg, x, enc_out, enc_mask, residual=None):
-    kp, vp = _mm_fused(lp, ("ck", "cv"), enc_out, cfg)
+    if "ckv" in lp:  # packed cross kv (quant pack=True); the k/v slices
+        # feed the XLA attention path (decoder Lq=2 < flash minimum), so
+        # XLA fuses them into their consumers — no copies materialize.
+        ckv = _mm_packed(lp, "ckv", enc_out, cfg)
+        HD = ckv.shape[-1] // 2
+        kp, vp = ckv[..., :HD], ckv[..., HD:]
+    else:
+        kp, vp = _mm_fused(lp, ("ck", "cv"), enc_out, cfg)
     qp = _mm(lp, "cq", x, cfg)
     out = mha_flat(qp, kp, vp, cfg.num_heads, kv_mask=enc_mask, bias=None,
                    scale=1.0, use_flash=cfg.use_flash, mesh=cfg.flash_mesh)

@@ -321,3 +321,159 @@ def quantized_matmul(
         interpret=interpret,
     )
     return out.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# Gated-FFN fused kernel: act(x @ w0) * (x @ w1) in one pass
+# ---------------------------------------------------------------------------
+def _act(name: str, h: jax.Array) -> jax.Array:
+    if name == "gelu_new":
+        # tanh GeLU, matching ops/attention.py::gelu_new (HF gelu_new).
+        c = 0.7978845608028654  # sqrt(2/pi)
+        return 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h)))
+    if name == "relu":
+        return jnp.maximum(h, 0.0)
+    if name == "silu":
+        return h * jax.nn.sigmoid(h)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def _kernel_gated(
+    x_ref, w0_ref, w1_ref, s0_ref, s1_ref, o_ref,
+    acc0_ref, acc1_ref, q_ref, s_ref, *, nk: int, act: str
+):
+    """Gated-FFN body: both halves of the gate share the SAME quantized
+    x tile (cached in scratch exactly like _kernel_fusedq), accumulate
+    into two f32 accumulators, and the epilogue writes act(h0)*h1
+    directly — the [M, 2N] intermediate that the split path writes to
+    and re-reads from HBM (671MB per xl encoder batch) never exists."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        q_ref[k] = jnp.clip(
+            jnp.round(x * pl.reciprocal(scale, approx=False)), -127, 127
+        ).astype(jnp.int8)
+        s_ref[k] = scale
+
+    d0 = jnp.dot(q_ref[k], w0_ref[:], preferred_element_type=jnp.int32)
+    d1 = jnp.dot(q_ref[k], w1_ref[:], preferred_element_type=jnp.int32)
+    acc0_ref[:] += d0.astype(jnp.float32) * s_ref[k]
+    acc1_ref[:] += d1.astype(jnp.float32) * s_ref[k]
+
+    @pl.when(k == nk - 1)
+    def _():
+        h0 = acc0_ref[:] * s0_ref[:]
+        h1 = acc1_ref[:] * s1_ref[:]
+        o_ref[:] = (_act(act, h0) * h1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "bm", "bn_cap", "bk_cap", "interpret"),
+)
+def _gated_matmul_2d(
+    x: jax.Array,   # [M, K] bf16/f32
+    wp: jax.Array,  # [K, 2N] int8 — w0 | w1 packed along the output axis
+    sp: jax.Array,  # [1, 2N] f32 column scales, packed the same way
+    act: str = "gelu_new",
+    out_dtype=jnp.bfloat16,
+    bm: int = 256,
+    bn_cap: int = 512,
+    bk_cap: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = wp.shape[1] // 2
+    bn = _largest_divisor(N, bn_cap)
+    bk = _largest_divisor(K, bk_cap)
+    if bn == 0 or bk == 0:
+        raise ValueError(
+            f"gated_matmul needs 128-multiple divisible K/N, got {K}x{N}"
+        )
+    xbytes = x.dtype.itemsize
+
+    def _vmem(bm_, bk_, bn_):
+        nk_ = K // bk_
+        return (
+            2 * (bm_ * bk_ * xbytes + 2 * bk_ * bn_)   # x + two w tiles
+            + 2 * 4 * bm_ * bn_                        # two f32 accs
+            + 2 * bm_ * bn_ * jnp.dtype(out_dtype).itemsize * 2
+            + nk_ * bm_ * (bk_ + 4)                    # q/s caches
+            + bm_ * bk_ * 4                            # f32 temp at quantize
+        )
+
+    while bk > 1024 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bk //= 2
+    while bm > 128 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bm //= 2
+    while bn > 128 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bn //= 2
+    pad = (-M) % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Mp = M + pad
+    nk = K // bk
+    NB = N // bn
+    out = pl.pallas_call(
+        functools.partial(_kernel_gated, nk=nk, act=act),
+        grid=(Mp // bm, NB, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, NB + j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, NB + j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((nk, bm, bk), jnp.int8),
+            pltpu.VMEM((nk, bm, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * K * N,
+            bytes_accessed=Mp * K * xbytes + 2 * K * N + Mp * N * 2,
+            transcendentals=Mp * N,
+        ),
+        interpret=interpret,
+    )(x, wp, wp, sp.astype(jnp.float32), sp.astype(jnp.float32))
+    return out[:M] if pad else out
+
+
+def gated_matmul(
+    x: jax.Array,   # [..., K] bf16/f32 activations
+    wp: jax.Array,  # [K, 2N] int8 — gate | up packed along the output axis
+    sp: jax.Array,  # [1, 2N] column scales
+    act: str = "gelu_new",
+    interpret: bool = False,
+) -> jax.Array:
+    """act(x @ w0) * (x @ w1) over a packed [K, 2N] int8 weight, as ONE
+    Pallas W8A8 pass (see _kernel_gated). The packed weight is passed
+    twice with offset index maps — Pallas streams the w0 tile at block
+    column j and the w1 tile at NB+j, so no slice of the weight is ever
+    materialized. Measured 6.6ms vs 8.6ms for the split path on the xl
+    encoder FFN shape ([32768, 2048] x [2048, 2x5120])."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    out = _gated_matmul_2d(
+        x2, wp, sp, act=act,
+        out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
+        interpret=interpret,
+    )
+    return out.reshape(*lead, -1)

@@ -109,6 +109,16 @@ def t5_param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         if dec:
             specs["ln3"] = P(None, None)
             specs.update({("c" + k): v for k, v in attn_specs().items()})
+        # Packed int8 leaves (quant.T5_PACKS) exist only on the
+        # single-chip kernel path — a contiguous 'model' split of the
+        # packed axis would mix q/k/v — so they stay replicated; the
+        # 1-device mesh makes that a no-op.
+        for name in ("qkv", "ckv", "wi_g"):
+            if name in layers:
+                specs[name] = P(None, None, None)
+        # Only leaves that actually exist (packing removes the per-site
+        # ones it merged).
+        specs = {k: v for k, v in specs.items() if k in layers}
         # int8 quantization: per-output-channel scales [L, 1, out] shard
         # along the same axis as the weight's output dim.
         for name in list(specs):

@@ -289,3 +289,66 @@ def test_flash_blhd_shard_map_tp_matches_single(_interpret_blhd):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), rtol=2e-5, atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# packed layout (flash_mha_packed): q/k/v as index-mapped views of one array
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def _interpret_packed(monkeypatch):
+    orig = flash.pl.pallas_call
+    monkeypatch.setattr(
+        flash.pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    monkeypatch.setattr(
+        flash, "flash_mha_packed", flash.flash_mha_packed.__wrapped__
+    )
+    monkeypatch.setattr(
+        flash, "flash_mha_blhd", flash.flash_mha_blhd.__wrapped__
+    )
+
+
+@pytest.mark.parametrize("case", ["plain", "bias", "kvmask", "causal",
+                                  "bias_kvmask"])
+def test_flash_packed_matches_blhd(case, _interpret_packed):
+    """flash_mha_packed must equal flash_mha_blhd on the sliced views —
+    the packed form only changes how tiles are addressed."""
+    B, L, H, Dh = 2, 256, 4, 64
+    HD = H * Dh
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(B, L, 3 * HD).astype(np.float32) * 0.3)
+    kv_mask = None
+    bias = None
+    causal = case == "causal"
+    if "kvmask" in case:
+        m = np.ones((B, L), np.int32)
+        m[0, 200:] = 0
+        kv_mask = jnp.asarray(m)
+    if "bias" in case:
+        bias = jnp.asarray(rng.randn(1, H, L, L).astype(np.float32) * 0.1)
+    ref = flash.flash_mha_blhd(
+        qkv[..., :HD], qkv[..., HD:2 * HD], qkv[..., 2 * HD:], H,
+        kv_mask=kv_mask, causal=causal, bias=bias, scale=0.5,
+    )
+    got = flash.flash_mha_packed(
+        qkv, H, kv_mask=kv_mask, causal=causal, bias=bias, scale=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_packed_unaligned_length(_interpret_packed):
+    """L=200 forces sequence padding inside the packed kernel; padded
+    keys must be masked and padded queries sliced off."""
+    B, L, H, Dh = 2, 200, 4, 64
+    HD = H * Dh
+    rng = np.random.RandomState(8)
+    qkv = jnp.asarray(rng.randn(B, L, 3 * HD).astype(np.float32) * 0.3)
+    ref = flash.flash_mha_blhd(
+        qkv[..., :HD], qkv[..., HD:2 * HD], qkv[..., 2 * HD:], H, scale=0.5,
+    )
+    got = flash.flash_mha_packed(qkv, H, scale=0.5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

@@ -105,3 +105,74 @@ def test_t5_forward_int8_kernel_path_matches_bf16():
         np.linalg.norm(ref) * np.linalg.norm(got) + 1e-9
     )
     assert cos > 0.999, cos
+
+
+def test_gated_matmul_matches_split():
+    """The fused gated-FFN kernel (act(x@w0)*(x@w1) in one pass) must
+    match the two-GEMM reference within int8 quantization error."""
+    from llmrankers_tpu.ops.int8_matmul import gated_matmul
+
+    rng = np.random.RandomState(3)
+    M, K, N = 160, 256, 384
+    x = rng.randn(M, K).astype(np.float32)
+    w = rng.randn(K, 2 * N).astype(np.float32)
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    sp = amax / 127.0
+    wp = np.clip(np.round(w / sp), -127, 127).astype(np.int8)
+
+    got = np.asarray(gated_matmul(
+        jnp.asarray(x), jnp.asarray(wp), jnp.asarray(sp),
+        act="gelu_new", interpret=True,
+    ))
+    wd = wp.astype(np.float32) * sp
+    h0 = x @ wd[:, :N]
+    h1 = x @ wd[:, N:]
+    c = 0.7978845608028654
+    ref = 0.5 * h0 * (1.0 + np.tanh(c * (h0 + 0.044715 * h0**3))) * h1
+    # int8 activation quantization error bounds the mismatch
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / denom < 0.05
+    # relu variant
+    got_r = np.asarray(gated_matmul(
+        jnp.asarray(x), jnp.asarray(wp), jnp.asarray(sp),
+        act="relu", interpret=True,
+    ))
+    ref_r = np.maximum(h0, 0.0) * h1
+    assert np.abs(got_r - ref_r).max() / (np.abs(ref_r).max() + 1e-6) < 0.05
+
+
+def test_t5_forward_packed_kernel_matches_bf16():
+    """pack=True param layout through the kernel path (interpret):
+    packed qkv GEMM + gated FFN kernel. Winners must match bf16."""
+    import dataclasses
+
+    from llmrankers_tpu.models import quant as quant_mod
+    from llmrankers_tpu.models import t5 as t5_mod
+    from llmrankers_tpu.models.config import T5Config
+
+    cfg = T5Config(
+        vocab_size=512, d_model=128, d_kv=32, d_ff=256,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+    )
+    params = t5_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quant_mod.quantize_t5_params(params, pack=True)
+    lyr = qp["encoder"]["layers"]
+    assert "qkv" in lyr and "wi_g" in lyr and "q" not in lyr
+    assert "ckv" in qp["decoder"]["layers"]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (64, 16), 0, 512)
+    mask = jnp.ones_like(ids)
+    dec = jnp.zeros((64, 1), jnp.int32)
+    ref = np.asarray(t5_mod.forward(params, cfg, ids, mask, dec)[:, -1])
+    cfg_k = dataclasses.replace(cfg, int8_kernel=True)
+    got = np.asarray(t5_mod.forward(qp, cfg_k, ids, mask, dec)[:, -1])
+    assert (ref.argmax(-1) == got.argmax(-1)).all()
+    cos = (ref * got).sum() / (
+        np.linalg.norm(ref) * np.linalg.norm(got) + 1e-9
+    )
+    assert cos > 0.999, cos
+    # and the packed XLA fallback (int8_kernel=False) is EXACTLY the
+    # unpacked int8 path — packing only reorders leaves.
+    q_unp = quant_mod.quantize_t5_params(params)
+    a = t5_mod.forward(q_unp, cfg, ids, mask, dec)
+    b = t5_mod.forward(qp, cfg, ids, mask, dec)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
