@@ -123,8 +123,17 @@ class ScoringEngine:
             elif kind == "decoder":
                 # Weight-only W8A16: decode is weight-streaming-bound, so
                 # halved weight bytes ~ doubled decode throughput; XLA
-                # fuses the dequant into the matmul producer.
+                # fuses the dequant into the matmul producer. Prefill's
+                # large-M GEMMs additionally ride the W8A8 int8-MXU
+                # kernel on single-chip TPU (quant.qmm dispatch).
                 params = jax.jit(quant_mod.quantize_decoder_params)(params)
+                _1chip = mesh is None or mesh.devices.size == 1
+                if (
+                    _1chip
+                    and jax.default_backend() == "tpu"
+                    and os.environ.get("LLMRANKERS_NO_INT8_KERNEL") != "1"
+                ):
+                    cfg = dataclasses.replace(cfg, int8_kernel=True)
             else:
                 # T5 scoring is COMPUTE-bound: quantize weights AND route
                 # matmul sites through the Pallas W8A8 int8-MXU kernel

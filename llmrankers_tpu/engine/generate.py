@@ -30,7 +30,7 @@ from ..models import decoder as dec_mod
 from ..models import t5 as t5_mod
 from ..models.config import DecoderConfig, T5Config
 from ..models import quant
-from ..models.quant import qmm
+from ..models.quant import qmm, swiglu_ffn
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 
 NEG_INF = -1e9
@@ -54,16 +54,17 @@ def _kv_quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def _qkv(lp, hn, cfg):
     """q/k/v projections via the quant-state dispatcher (models/quant.qmm):
     bf16, w8a16 int8, or the Pallas W4A8 int4 kernel when cfg.int4_kernel."""
-    return (qmm(lp, "wq", hn, cfg.int4_kernel),
-            qmm(lp, "wk", hn, cfg.int4_kernel),
-            qmm(lp, "wv", hn, cfg.int4_kernel))
+    return (qmm(lp, "wq", hn, cfg.qkernels),
+            qmm(lp, "wk", hn, cfg.qkernels),
+            qmm(lp, "wv", hn, cfg.qkernels))
 
 
 def _ffn(lp, hn, cfg):
-    """SwiGLU FFN through the same quant-state dispatch as _qkv."""
-    g = jax.nn.silu(qmm(lp, "w_gate", hn, cfg.int4_kernel))
-    return qmm(lp, "w_down", g * qmm(lp, "w_up", hn, cfg.int4_kernel),
-               cfg.int4_kernel)
+    """SwiGLU FFN through the quant-state dispatch (quant.swiglu_ffn):
+    large-M int8 prefill fuses gate+up into one Pallas pass so the
+    [.., d_ff] intermediates never touch HBM; decode's small-M steps and
+    bf16/int4 take the per-site qmm path inside."""
+    return swiglu_ffn(lp, hn, cfg.qkernels)
 
 
 
@@ -246,7 +247,7 @@ def decoder_prefill(
         a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + qmm(lp, "wo", a, cfg.int4_kernel)
+        h = h + qmm(lp, "wo", a, cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         f = _ffn(lp, hn, cfg)
         # Cache padded out to T along the length axis.
@@ -323,7 +324,7 @@ def _prefill_layers(
         a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + qmm(lp, "wo", a, cfg.int4_kernel)
+        h = h + qmm(lp, "wo", a, cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         f = _ffn(lp, hn, cfg)
         return h + f, (k, v)
@@ -518,7 +519,7 @@ def decoder_decode_chunk(
                 + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
             ) / z[..., None]
             h = h + qmm(lp, "wo", a.astype(dtype).reshape(B, H * Dh),
-                        cfg.int4_kernel)
+                        cfg.qkernels)
             hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
             f = _ffn(lp, hn, cfg)
             return h + f, (k, v)
@@ -788,7 +789,7 @@ def decoder_spec_decode_chunk(
                 .transpose(0, 2, 1, 3)
                 .reshape(B, S, H * Dh)
             )
-            h = h + qmm(lp, "wo", a, cfg.int4_kernel)
+            h = h + qmm(lp, "wo", a, cfg.qkernels)
             hn2 = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
             f = _ffn(lp, hn2, cfg)
             return h + f, (k, v)

@@ -130,6 +130,16 @@ class DecoderConfig:
     # multi-device GSPMD uses the XLA unpack path). See
     # ops/int4_matmul.py.
     int4_kernel: bool = False
+    # Route large-M int8 matmul sites (prefill) through the Pallas W8A8
+    # kernel (set by the engine for single-device TPU when
+    # quantize='int8'); decode's small-M steps stay on the fused
+    # w8a16 dequant. See ops/int8_matmul.py and quant.qmm.
+    int8_kernel: bool = False
+
+    @property
+    def qkernels(self) -> bool:
+        """Pallas quantized-matmul kernels allowed (single-chip TPU)."""
+        return self.int4_kernel or self.int8_kernel
 
     @property
     def head_dim_(self) -> int:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import apply_rope, mha, rms_norm, rope_cos_sin
 from .config import DecoderConfig
-from .quant import embed_rows as quant_embed_rows, qmm
+from .quant import embed_rows as quant_embed_rows, qmm, swiglu_ffn
 
 Params = Dict[str, Any]
 
@@ -66,9 +66,9 @@ def forward_hidden(
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = qmm(lp, "wq", hn, cfg.int4_kernel)
-        k = qmm(lp, "wk", hn, cfg.int4_kernel)
-        v = qmm(lp, "wv", hn, cfg.int4_kernel)
+        q = qmm(lp, "wq", hn, cfg.qkernels)
+        k = qmm(lp, "wk", hn, cfg.qkernels)
+        v = qmm(lp, "wv", hn, cfg.qkernels)
         if cfg.attention_bias:
             q = q + lp["bq"]
             k = k + lp["bk"]
@@ -86,14 +86,9 @@ def forward_hidden(
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + qmm(lp, "wo", a, cfg.int4_kernel)
+        h = h + qmm(lp, "wo", a, cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = qmm(
-            lp, "w_down",
-            jax.nn.silu(qmm(lp, "w_gate", hn, cfg.int4_kernel))
-            * qmm(lp, "w_up", hn, cfg.int4_kernel),
-            cfg.int4_kernel,
-        )
+        f = swiglu_ffn(lp, hn, cfg.qkernels)
         return h + f, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])

@@ -65,11 +65,15 @@ def qmm(lp: Dict[str, Any], name: str, x: jax.Array,
         kernel: bool = False) -> jax.Array:
     """``x @ weight`` for a matmul site of any quantization state.
 
-    ``kernel=True`` (cfg.int4_kernel: single-chip TPU) routes int4-packed
-    sites through the Pallas W4A8 kernel (ops/int4_matmul.py) — halved
-    weight HBM traffic AND int8-MXU dots. Everything else (bf16, int8
-    w8a16, int4 off-kernel) goes through :func:`wmat`, whose dequant XLA
-    fuses into the matmul."""
+    ``kernel=True`` (cfg.int4_kernel / cfg.int8_kernel: single-chip TPU)
+    routes int4-packed sites through the Pallas W4A8 kernel
+    (ops/int4_matmul.py) — halved weight HBM traffic AND int8-MXU dots —
+    and LARGE-M int8 sites (prefill: M = B*L >= 1024) through the W8A8
+    kernel (ops/int8_matmul.py), where the int8 MXU's ~2x bf16 peak
+    pays; small-M decode steps stay on the fused w8a16 dequant, which is
+    weight-streaming-bound and kernel launch overhead would lose.
+    Everything else (bf16, int8 w8a16 small-M, int4 off-kernel) goes
+    through :func:`wmat`, whose dequant XLA fuses into the matmul."""
     if (
         kernel
         and (name + SCALE4_SUFFIX) in lp
@@ -82,9 +86,61 @@ def qmm(lp: Dict[str, Any], name: str, x: jax.Array,
             x, lp[name], lp[name + SCALE4_SUFFIX],
             interpret=jax.default_backend() != "tpu",
         )
+    if (
+        kernel
+        and (name + SCALE_SUFFIX) in lp
+        and lp[name].shape[-2] % 128 == 0
+        and lp[name].shape[-1] % 128 == 0
+        and _flat_m(x) >= 1024
+    ):
+        from ..ops.int8_matmul import quantized_matmul
+
+        return quantized_matmul(
+            x, lp[name], lp[name + SCALE_SUFFIX],
+            interpret=jax.default_backend() != "tpu",
+        )
     # astype: int4's f32 group scales would otherwise promote a bf16
     # activation to f32 and break scan carry dtypes (no-op off-int4)
     return (x @ wmat(lp, name)).astype(x.dtype)
+
+
+def _flat_m(x: jax.Array) -> int:
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    return m
+
+
+def swiglu_ffn(lp: Dict[str, Any], x: jax.Array,
+               kernel: bool = False) -> jax.Array:
+    """``silu(x@w_gate) * (x@w_up) @ w_down`` through the quant-state
+    dispatch. At large M (prefill) with int8 gate/up weights the gate
+    pair fuses into ONE Pallas pass (ops/int8_matmul.gated_matmul_pair)
+    — the two [.., d_ff] intermediates never touch HBM. int4-packed FFNs
+    (scale4 leaves) and small-M decode steps take the per-site qmm
+    dispatch unchanged."""
+    if (
+        kernel
+        and ("w_gate" + SCALE_SUFFIX) in lp
+        and ("w_up" + SCALE_SUFFIX) in lp
+        and lp["w_gate"].shape[-2] % 128 == 0
+        and lp["w_gate"].shape[-1] % 128 == 0
+        and _flat_m(x) >= 1024
+    ):
+        from ..ops.int8_matmul import gated_matmul_pair
+
+        g = gated_matmul_pair(
+            x,
+            lp["w_gate"], lp["w_gate" + SCALE_SUFFIX],
+            lp["w_up"], lp["w_up" + SCALE_SUFFIX],
+            act="silu",
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        g = jax.nn.silu(qmm(lp, "w_gate", x, kernel)) * qmm(
+            lp, "w_up", x, kernel
+        )
+    return qmm(lp, "w_down", g, kernel)
 
 
 def embed_rows(params: Dict[str, Any], ids: jax.Array) -> jax.Array:

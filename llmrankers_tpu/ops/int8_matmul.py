@@ -477,3 +477,107 @@ def gated_matmul(
         interpret=interpret,
     )
     return out.reshape(*lead, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "bm", "bn_cap", "bk_cap", "interpret"),
+)
+def _gated_pair_2d(
+    x: jax.Array,   # [M, K]
+    w0: jax.Array,  # [K, N] int8 (gate)
+    s0: jax.Array,  # [1, N]
+    w1: jax.Array,  # [K, N] int8 (up)
+    s1: jax.Array,  # [1, N]
+    act: str = "silu",
+    out_dtype=jnp.bfloat16,
+    bm: int = 256,
+    bn_cap: int = 512,
+    bk_cap: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same fused gate as _gated_matmul_2d but over two SEPARATE weight
+    leaves (the decoder's w_gate/w_up are independent stacked arrays, so
+    no packed leaf exists). The kernel body is shared; only the index
+    maps differ (both read block column j of their own array)."""
+    M, K = x.shape
+    N = w0.shape[1]
+    bn = _largest_divisor(N, bn_cap)
+    bk = _largest_divisor(K, bk_cap)
+    if bn == 0 or bk == 0:
+        raise ValueError(
+            f"gated pair needs 128-multiple divisible K/N, got {K}x{N}"
+        )
+    xbytes = x.dtype.itemsize
+
+    def _vmem(bm_, bk_, bn_):
+        nk_ = K // bk_
+        return (
+            2 * (bm_ * bk_ * xbytes + 2 * bk_ * bn_)
+            + 2 * 4 * bm_ * bn_
+            + 2 * bm_ * bn_ * jnp.dtype(out_dtype).itemsize * 2
+            + nk_ * bm_ * (bk_ + 4)
+            + bm_ * bk_ * 4
+        )
+
+    while bk > 1024 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bk //= 2
+    while bm > 128 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bm //= 2
+    while bn > 128 and _vmem(bm, bk, bn) > 13 * 2**20:
+        bn //= 2
+    pad = (-M) % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    Mp = M + pad
+    nk = K // bk
+    out = pl.pallas_call(
+        functools.partial(_kernel_gated, nk=nk, act=act),
+        grid=(Mp // bm, N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((nk, bm, bk), jnp.int8),
+            pltpu.VMEM((nk, bm, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * K * N,
+            bytes_accessed=Mp * K * xbytes + 2 * K * N + Mp * N * 2,
+            transcendentals=Mp * N,
+        ),
+        interpret=interpret,
+    )(x, w0, w1, s0.astype(jnp.float32), s1.astype(jnp.float32))
+    return out[:M] if pad else out
+
+
+def gated_matmul_pair(
+    x: jax.Array,
+    w0: jax.Array, s0: jax.Array,
+    w1: jax.Array, s1: jax.Array,
+    act: str = "silu",
+    interpret: bool = False,
+) -> jax.Array:
+    """act(x @ w0) * (x @ w1) over two separate int8 weights (decoder
+    SwiGLU prefill): the [.., d_ff] gate/up intermediates never touch
+    HBM (see gated_matmul for the packed-leaf T5 variant)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    out = _gated_pair_2d(
+        x2, w0, s0, w1, s1, act=act,
+        out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
+        interpret=interpret,
+    )
+    return out.reshape(*lead, -1)
