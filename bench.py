@@ -82,9 +82,14 @@ def t5_throughput(cfg_name, cfg, n_queries, seq_queries, n_docs=100,
     params = t5.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     tok = ByteTokenizer(cfg.vocab_size)
     queries, rankings = build_workload(n_queries, n_docs, 128, 16)
+    # auto length buckets: the engine plans a DP-optimal ladder from the
+    # observed row lengths (utils/bucketplan.py, 16-token granularity)
+    # during the warm-up queries — the ~581-token setwise prompts get a
+    # 592 rung instead of padding to 640 (+9.7% measured on xl int8).
     engine = ScoringEngine(
         "t5", cfg, params, tok,
-        len_buckets=(512, 640, 1024), batch_buckets=(16, 32, 64, 256),
+        len_buckets="auto:4", auto_plan_rows=512,
+        batch_buckets=(16, 32, 64, 256),
         quantize=quantize,
     )
 

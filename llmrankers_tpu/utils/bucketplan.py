@@ -9,9 +9,14 @@ padded tokens of wasted compute. The default ladder
 can land between rungs and pay 30%+ padding. This module computes the
 exact waste-minimizing ladder for an observed length distribution.
 
-Formulation: round each observed length up to ``multiple`` (TPU lane
-packing makes sub-multiple granularity free to ignore; it also bounds
-the candidate set). Any optimal bucket top can be lowered to the
+Formulation: round each observed length up to ``multiple``. The
+default granularity is 16 — the bf16 sublane width, so finer rungs
+buy nothing from the hardware layout — NOT a coarser "free" 64/128:
+batched T5 scoring is GEMM-bound with M = batch x bucket_len, so
+every padded row-token is real MXU work. Measured on the xl int8
+setwise bench: 581-token prompts forced to a 640 rung (64-multiple
+planning) vs a 592 rung (16-multiple) is a 9.7% end-to-end
+throughput difference. Any optimal bucket top can be lowered to the
 largest rounded length it covers, so tops come from the candidate set
 of distinct rounded lengths. Minimizing total padded tokens
 sum_rows(top(len)) over ladders with at most K rungs (the count term
@@ -36,7 +41,7 @@ from typing import List, Sequence, Tuple
 def optimal_buckets(
     lengths: Sequence[int],
     max_buckets: int = 8,
-    multiple: int = 64,
+    multiple: int = 16,
     compile_cost: int = 0,
 ) -> Tuple[int, ...]:
     """The ladder of at most ``max_buckets`` rung tops (multiples of
