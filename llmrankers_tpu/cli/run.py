@@ -234,7 +234,7 @@ def make_engine(run_args, lora_path=None):
     ``lora_path`` merges a PEFT-format adapter into the weights
     (the vLLM LoRARequest path, setwise.py:494-497).
 
-    ``--model_name_or_path random:{t5-tiny|t5-large|t5-xl|dec-tiny}``
+    ``--model_name_or_path random:{t5-tiny|t5-large|t5-xl|dec-tiny|mistral-tiny}``
     builds a random-init model with the byte tokenizer — the offline
     smoke-test path (no weights ship with this environment).
     """
@@ -269,6 +269,13 @@ def make_engine(run_args, lora_path=None):
             params = t5_mod.init_params(cfg, key, dtype)
         elif preset == "dec-tiny":
             kind, cfg = "decoder", DecoderConfig.tiny()
+            params = dec_mod.init_params(cfg, key, dtype)
+        elif preset == "mistral-tiny":
+            # Sliding-window smoke config (Mistral v0.1-style attention).
+            import dataclasses as _dc
+
+            kind = "decoder"
+            cfg = _dc.replace(DecoderConfig.tiny(), sliding_window=64)
             params = dec_mod.init_params(cfg, key, dtype)
         else:
             raise ValueError(f"unknown random preset {preset!r}")

@@ -225,6 +225,10 @@ def decoder_prefill(
     x = quant.embed_rows(params, input_ids)
     pos = dec_mod.positions_from_mask(attn_mask)
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
+    # Sliding window (index space — exact for one left-padded block);
+    # static no-op when the prompt fits inside the window.
+    win = cfg.sliding_window
+    win = win if (win is not None and L > win) else None
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
@@ -245,7 +249,7 @@ def decoder_prefill(
 
         # Structural masks so prefill rides the flash kernel on TPU.
         a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
-                use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+                use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + qmm(lp, "wo", a, cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
@@ -294,6 +298,22 @@ def _prefill_layers(
     kv_mask_full = (
         jnp.concatenate([pre_mask, attn_mask], axis=1) if have_pre else attn_mask
     )
+    # Sliding window. Without a prefix the block is contiguously padded,
+    # so the structural index-space window is exact (and flash-friendly).
+    # With a prefix there are padding holes between the right-padded
+    # prefix and the suffix, so index deltas lie about position deltas —
+    # build a dense positional mask instead (XLA path; rare case: a
+    # shared-prefix Mistral prompt longer than its window).
+    win = cfg.sliding_window
+    Lk_total = kv_mask_full.shape[1]
+    win = win if (win is not None and Lk_total > win) else None
+    dense_win = None
+    if win is not None and have_pre:
+        pre_pos = dec_mod.positions_from_mask(pre_mask)
+        pos_k = jnp.concatenate([pre_pos, pos], axis=1)  # [B, Lp+L]
+        rel = pos[:, :, None] - pos_k[:, None, :]  # [B, Lq, Lk]
+        vis = (rel >= 0) & (rel < win) & kv_mask_full.astype(bool)[:, None, :]
+        dense_win = vis[:, None]  # [B, 1, Lq, Lk]
 
     def layer(h, xs):
         if have_pre:
@@ -321,8 +341,12 @@ def _prefill_layers(
         vf = jnp.repeat(v_all, H // KV, axis=1)
         # causal with Lk > Lq: suffix token j sees all prefix keys plus
         # suffix keys <= j (mha's diagonal offset is Lk - Lq = Lp).
-        a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True, scale=Dh**-0.5,
-                use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+        if dense_win is not None:
+            a = mha(q, kf, vf, mask=dense_win, scale=Dh**-0.5)
+        else:
+            a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True,
+                    scale=Dh**-0.5, use_flash=cfg.use_flash,
+                    mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + qmm(lp, "wo", a, cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
@@ -446,6 +470,10 @@ def decoder_decode_chunk(
     if done is None:
         done = jnp.zeros((B,), bool)
 
+    # Sliding window: statically skipped unless the cache can outgrow it.
+    win = cfg.sliding_window
+    win = win if (win is not None and T > win) else None
+
     def step(carry, i):
         tok, kc, vc, kmask, pos, done = carry
         t = offset + i
@@ -453,6 +481,16 @@ def decoder_decode_chunk(
         # RoPE position is per-row `pos`.
         x = quant.embed_rows(params, tok)  # [B, D]
         cos, sin = rope_cos_sin(pos[:, None], Dh, cfg.rope_theta, dtype=x.dtype)
+        if win is not None:
+            # Per-slot positions: padding is contiguous per region and
+            # appended slots are marked valid in order, so cumsum of the
+            # validity mask reproduces every slot's RoPE position. Keys
+            # further than the window behind the current token drop out
+            # (the rank-1 self term below is rel 0, always visible).
+            slot_pos = jnp.cumsum(kmask.astype(jnp.int32), axis=1) - 1
+            amask = kmask & (pos[:, None] - slot_pos < win)
+        else:
+            amask = kmask
 
         # The caches enter the layer scan as READ-ONLY xs. Writing them
         # per layer (cache as scan carry/ys) forces XLA to copy the whole
@@ -498,7 +536,7 @@ def decoder_decode_chunk(
                     "bkgd,bktd->bkgt", qg, kcl, preferred_element_type=jnp.float32
                 )
             s = s * (Dh**-0.5)
-            s = jnp.where(kmask[:, None, None, :], s, NEG_INF)
+            s = jnp.where(amask[:, None, None, :], s, NEG_INF)
             # Current token's self-attention as an online-softmax term
             # (its k/v are not in the cache yet).
             s_self = jnp.einsum(
@@ -639,6 +677,15 @@ def decoder_spec_decode_chunk(
     # match the step-by-step scan exactly (there, predecessors are read
     # back quantized from the cache but the current token never is).
     tri = jnp.arange(S)[:, None] > jnp.arange(S)[None, :]
+    # Sliding window: statically skipped unless the cache can outgrow it.
+    # In-block deltas are at most S-1, so the block mask only changes in
+    # the degenerate win < S case.
+    win = cfg.sliding_window
+    win = win if (win is not None and T > win) else None
+    if win is not None and win < S:
+        tri = tri & (
+            jnp.arange(S)[:, None] - jnp.arange(S)[None, :] < win
+        )
 
     def round_fn(carry, _):
         tok, kc, vc, kmask, pos, hist, wp, done = carry
@@ -704,6 +751,15 @@ def decoder_spec_decode_chunk(
         x = quant.embed_rows(params, bt)  # [B, S, D]
         poss = pos[:, None] + jnp.arange(S)[None, :]
         cos, sin = rope_cos_sin(poss, Dh, cfg.rope_theta, dtype=x.dtype)
+        if win is not None:
+            slot_pos = jnp.cumsum(kmask.astype(jnp.int32), axis=1) - 1
+            amask = (
+                kmask[:, None, :]
+                & (poss[:, :, None] - slot_pos[:, None, :] < win)
+            )  # [B, S, T]
+            amask = amask[:, None, None]  # [B, 1, 1, S, T]
+        else:
+            amask = kmask[:, None, None, None, :]
 
         def layer(h, xs):
             lp, kcl, vcl = xs
@@ -734,7 +790,7 @@ def decoder_spec_decode_chunk(
                     preferred_element_type=jnp.float32,
                 )
             s_c = s_c * (Dh**-0.5)
-            s_c = jnp.where(kmask[:, None, None, None, :], s_c, NEG_INF)
+            s_c = jnp.where(amask, s_c, NEG_INF)
             # In-block attention on earlier block positions. Under
             # kv_quant they go through the SAME int8 fold as the cache
             # (the scan would have appended them a step earlier).

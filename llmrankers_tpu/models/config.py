@@ -115,6 +115,13 @@ class DecoderConfig:
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # True for Qwen2
     qk_norm: bool = False  # True for Qwen3
+    # Mistral sliding-window attention (HF config `sliding_window`): each
+    # token attends to at most the previous `sliding_window` positions.
+    # None = full causal attention (Llama/Qwen default; Mistral v0.2+
+    # ships null here). Masking is position-based and statically skipped
+    # whenever the sequence fits inside the window, so short rerank
+    # prompts keep the exact same compiled programs.
+    sliding_window: Optional[int] = None
     tie_word_embeddings: bool = False
     pad_token_id: int = 0
     eos_token_id: int = 2
@@ -171,6 +178,12 @@ class DecoderConfig:
         eos = d.get("eos_token_id", 2)
         if isinstance(eos, list):
             eos = eos[0]
+        # Sliding window: Mistral enables it whenever the config carries a
+        # non-null value; Qwen2 carries the field but gates it behind
+        # `use_sliding_window` (default off).
+        sw = d.get("sliding_window")
+        if mt == "qwen2" and not d.get("use_sliding_window", False):
+            sw = None
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -188,6 +201,7 @@ class DecoderConfig:
             pad_token_id=d.get("pad_token_id") or 0,
             eos_token_id=eos,
             bos_token_id=d.get("bos_token_id") or 1,
+            sliding_window=sw,
         )
 
 

@@ -63,6 +63,11 @@ def forward_hidden(
     x = quant_embed_rows(params, input_ids)
     pos = positions_from_mask(attn_mask)
     cos, sin = rope_cos_sin(pos, Dh, cfg.rope_theta, dtype=x.dtype)
+    # Sliding window (Mistral): index-space masking is exact here because
+    # the batch is contiguously left-padded. Static no-op when the block
+    # fits inside the window (the common rerank-prompt case).
+    win = cfg.sliding_window
+    win = win if (win is not None and L > win) else None
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
@@ -84,7 +89,7 @@ def forward_hidden(
         k = _repeat_kv(k, H // KV)
         v = _repeat_kv(v, H // KV)
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
-                use_flash=cfg.use_flash, mesh=cfg.flash_mesh)
+                use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + qmm(lp, "wo", a, cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)

@@ -27,17 +27,25 @@ def mha(
     scale: Optional[float] = None,  # None -> 1/sqrt(Dh); T5 passes 1.0
     use_flash: bool = False,
     mesh=None,  # Mesh for TP/DP shard_map dispatch of the flash kernel
+    window: Optional[int] = None,  # sliding window (causal only; Mistral)
 ) -> jax.Array:
     """Multi-head attention. Returns [B, H, Lq, Dh].
 
-    Masking is expressed structurally (``kv_mask`` + ``causal``) so the
-    Pallas flash kernel can consume it without materializing a dense
-    [B, H, Lq, Lk] mask; a dense ``mask`` is still accepted on the XLA
-    path. Softmax accumulates in fp32 regardless of input dtype (see
+    Masking is expressed structurally (``kv_mask`` + ``causal`` +
+    ``window``) so the Pallas flash kernel can consume it without
+    materializing a dense [B, H, Lq, Lk] mask; a dense ``mask`` is still
+    accepted on the XLA path. ``window`` bounds causal attention to the
+    previous `window` positions in INDEX space — valid for a single
+    contiguously-padded block (left or right), where index deltas equal
+    position deltas for real tokens; callers with padding holes
+    (shared-prefix prefill) build a dense positional mask instead.
+    Softmax accumulates in fp32 regardless of input dtype (see
     SURVEY.md §7 'hard parts' #5).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if window is not None and not causal:
+        raise ValueError("window requires causal attention")
     # Flash targets the hot op — long-sequence encoder/prefill attention.
     # Short decoder steps stay on XLA (kernel launch overhead dominates,
     # and each extra shape costs a Mosaic compile).
@@ -55,7 +63,7 @@ def mha(
 
             return flash_mha(
                 q, k, v, kv_mask=kv_mask, causal=causal, bias=bias,
-                scale=scale, mesh=mesh if multi else None,
+                scale=scale, mesh=mesh if multi else None, window=window,
             )
 
     dtype = q.dtype
@@ -69,7 +77,10 @@ def mha(
         scores = jnp.where(kv_mask.astype(bool)[:, None, None, :], scores, NEG_INF)
     if causal:
         Lq, Lk = q.shape[2], k.shape[2]
-        tri = jnp.arange(Lk)[None, :] <= (jnp.arange(Lq)[:, None] + (Lk - Lq))
+        rel = jnp.arange(Lq)[:, None] + (Lk - Lq) - jnp.arange(Lk)[None, :]
+        tri = rel >= 0
+        if window is not None:
+            tri = tri & (rel < window)
         scores = jnp.where(tri[None, None], scores, NEG_INF)
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)

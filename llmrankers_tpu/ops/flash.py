@@ -41,6 +41,7 @@ def _kernel(
     tk: int,
     lk: int,
     causal_offset: int,
+    window: Optional[int] = None,
 ):
     tq, dh = q_ref.shape[2], q_ref.shape[3]
     iq = pl.program_id(1)  # grid is (h, iq, b)
@@ -83,7 +84,11 @@ def _kernel(
             # shared-prefix prefill padding to 2048 while queries stay at
             # 1024) — using padded lengths here would unmask future keys.
             col_ids = kt * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            s = jnp.where(col_ids <= row_ids + causal_offset, s, NEG_INF)
+            rel = row_ids + causal_offset - col_ids
+            vis = rel >= 0
+            if window is not None:  # sliding window (Mistral)
+                vis = jnp.logical_and(vis, rel < window)
+            s = jnp.where(vis, s, NEG_INF)
 
         if nk == 1:
             # Single-tile fast path: plain softmax, no online correction.
@@ -208,7 +213,9 @@ def _pad_to(x: jax.Array, axis: int, mult: int, value=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "mesh")
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "mesh",
+                     "window"),
 )
 def flash_mha(
     q: jax.Array,  # [B, H, Lq, Dh]
@@ -221,6 +228,7 @@ def flash_mha(
     block_q: int = 1024,
     block_k: int = 1024,
     mesh=None,  # jax.sharding.Mesh with ('data','model') axes, or None
+    window: Optional[int] = None,  # causal sliding window (index space)
 ) -> jax.Array:
     """When ``mesh`` spans >1 device the kernel runs under ``shard_map``:
     batch shards over 'data', heads over 'model' (the TP layout the param
@@ -311,7 +319,7 @@ def flash_mha(
             _kernel(
                 refs[0], refs[1], refs[2], kvm_ref, bias_ref, o_ref,
                 scale=scale, causal=causal, tk=tk, lk=Lk_p,
-                causal_offset=Lk - Lq,
+                causal_offset=Lk - Lq, window=window,
             )
 
         return pl.pallas_call(
