@@ -768,12 +768,25 @@ class ScoringEngine:
     ) -> np.ndarray:
         """Decode from a prefilled cache in fixed-size chunks; between
         chunks the host decodes each live row and freezes rows whose text
-        already contains a stop string (or EOS)."""
+        already contains a stop string (or EOS).
+
+        Without stop strings the only freeze conditions (EOS + budget)
+        already run ON DEVICE, so the loop pipelines: chunk i+1 is
+        dispatched before chunk i's outputs are fetched, hiding the
+        host<->device roundtrip (substantial over a tunneled TPU — ~28%
+        of decode wall measured at Qwen2.5-3B shapes) behind device
+        compute. Outputs are bit-identical either way: a chunk past
+        all-done emits only pad filler, which stitching strips."""
         L = prompt_len
         chunk_fn = self._get_jit("dec_chunk", B, L, chunk_tokens)
         done = jnp.zeros((B,), bool)
         pieces: List[np.ndarray] = []
         offset = 0
+        pipelined = (
+            not stop_strings
+            and self.tokenizer.eos_id == int(self.cfg.eos_token_id)
+        )
+        pending = None  # (out_dev, done_dev) of the previously dispatched chunk
         while offset < max_new_tokens:
             steps = min(chunk_tokens, max_new_tokens - offset)
             if steps < chunk_tokens:
@@ -781,8 +794,18 @@ class ScoringEngine:
             out, tok, cache, done = chunk_fn(
                 pp, tok, cache, jnp.int32(offset), done
             )
-            pieces.append(np.asarray(out))
             offset += steps
+            if pipelined:
+                prev, pending = pending, (out, done)
+                if prev is not None:
+                    out_h, done_h = jax.device_get(prev)
+                    pieces.append(out_h)
+                    if done_h.all():
+                        # The just-dispatched chunk (pending) runs with
+                        # every row frozen — all-pad output, drained below.
+                        break
+                continue
+            pieces.append(np.asarray(out))
             if offset >= max_new_tokens:
                 break
             # Host-side stop check on the live rows.
@@ -794,6 +817,8 @@ class ScoringEngine:
             if all(newly):
                 break
             done = jnp.asarray(np.asarray(newly, bool))
+        if pending is not None:  # drain the in-flight chunk
+            pieces.append(jax.device_get(pending[0]))
         out = np.concatenate(pieces, axis=1)
         if out.shape[1] < max_new_tokens:
             out = np.pad(
@@ -867,12 +892,9 @@ class ScoringEngine:
         # server threads, and bare += on the shared dict loses updates.
         local_tokens = 0
         local_rounds = 0
-        while True:
-            outs, counts, (tok, cache, hist_d, wp, done_dev) = fn(
-                pp, tok, cache, hist_d, wp, done
-            )
-            outs_h = np.asarray(outs)
-            counts_h = np.asarray(counts)
+
+        def stitch(outs_h, counts_h):
+            nonlocal local_tokens, local_rounds
             for b in range(n):
                 for r in range(rounds):
                     cnt = int(counts_h[b, r])
@@ -886,13 +908,43 @@ class ScoringEngine:
                         local_tokens += kept
                         local_rounds += 1
                     rows_out[b].extend(outs_h[b, r, :cnt].tolist())
+
+        # Without stop strings, EOS + budget freezing both run on device,
+        # so the loop pipelines one chunk deep (see _decode_chunked): the
+        # fetch of chunk i overlaps chunk i+1's device compute. A chunk
+        # dispatched past all-done emits zero counts — stitch is a no-op.
+        pipelined = (
+            not stop_strings
+            and self.tokenizer.eos_id == int(self.cfg.eos_token_id)
+        )
+        pending = None
+        while True:
+            outs, counts, (tok, cache, hist_d, wp, done_dev) = fn(
+                pp, tok, cache, hist_d, wp, done
+            )
+            if pipelined:
+                done = done_dev
+                prev, pending = pending, (outs, counts, done_dev)
+                if prev is not None:
+                    outs_h, counts_h, done_h = jax.device_get(prev)
+                    stitch(outs_h, counts_h)
+                    if done_h.all():
+                        break
+                continue
+            outs_h, counts_h, done_h = jax.device_get(
+                (outs, counts, done_dev)
+            )
+            stitch(outs_h, counts_h)
             newly = self._host_freeze(
-                np.asarray(done_dev), lambda i: rows_out[i], n, B,
+                done_h, lambda i: rows_out[i], n, B,
                 max_new_tokens, stop_strings,
             )
             if all(newly):
                 break
             done = jnp.asarray(np.asarray(newly, bool))
+        if pending is not None:  # drain the in-flight chunk
+            outs_h, counts_h, _ = jax.device_get(pending)
+            stitch(outs_h, counts_h)
         with self._stats_lock:
             self.spec_stats["tokens"] += local_tokens
             self.spec_stats["rounds"] += local_rounds
