@@ -477,11 +477,20 @@ class ScoringEngine:
         per = max(1, self.max_batch_tokens // L)
         if row_limit is not None:
             per = max(1, min(per, row_limit))
-        # Round down to a batch bucket; when the (memory) limit sits below
-        # the smallest bucket, KEEP the raw limit — rounding up would
+        # Round down to a ladder rung; when the (memory) limit sits below
+        # the smallest rung, KEEP the raw limit — rounding up would
         # re-create the allocation the limit exists to prevent (the
         # caller's _pad_batch(b_cap=...) then compiles that exact shape).
-        fitting = [b for b in self.batch_buckets if b <= per]
+        # The ladder is DENSER than the batch buckets: generate row
+        # limits land between bucket rungs (e.g. a Qwen2.5-3B 1.8k-prompt
+        # budget yields ~26 rows), and rounding 26 down to the 8 bucket
+        # was measured to cost 3x decode throughput — each dispatch
+        # re-streams the full weight set, so rows-per-dispatch IS the
+        # decode throughput. A mid rung costs at most one extra compile.
+        ladder = sorted(
+            set(self.batch_buckets) | {12, 16, 24, 48, 96, 192, 384}
+        )
+        fitting = [b for b in ladder if b <= per]
         if fitting:
             per = max(fitting)
         for i in range(0, len(rows), per):
