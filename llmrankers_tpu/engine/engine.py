@@ -517,10 +517,20 @@ class ScoringEngine:
         else:
             # int8 KV halves the cache bytes (plus fp32 scales, 4/Dh).
             kv_bpe = (1 + 4.0 / cfg.head_dim_) if cfg.kv_quant else bpe
+            # Prefill transient live set per row: [L, d_ff] FFN
+            # intermediates (one fewer when the fused gated kernel keeps
+            # the gate/up pair in VMEM) + ~10 [L, D] streams
+            # (h/hn/q/attn-out and XLA double-buffering; K/V stay at KV
+            # heads — the GQA-native flash kernel never materializes the
+            # H-repeated copy that used to dominate). Calibrated on v5e:
+            # Qwen2.5-3B int8 at L=1856 fits 32 rows and OOMs at 40; this
+            # formula yields 38 there.
+            ffn_live = 2 if cfg.qkernels else 3
+            F = max(cfg.intermediate_size, cfg.hidden_size)
             per_row = (
                 cfg.num_hidden_layers * cfg.num_key_value_heads
                 * cfg.head_dim_ * (L + max_new) * 2 * kv_bpe  # self K/V
-                + 6 * L * max(cfg.intermediate_size, cfg.hidden_size) * bpe
+                + (ffn_live * F + 10 * cfg.hidden_size) * L * bpe
             )
         try:
             limit = jax.devices()[0].memory_stats()["bytes_limit"]

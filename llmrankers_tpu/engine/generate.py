@@ -243,12 +243,11 @@ def decoder_prefill(
             k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kf = jnp.repeat(k, H // KV, axis=1)
-        vf = jnp.repeat(v, H // KV, axis=1)
         from ..ops.attention import mha
 
-        # Structural masks so prefill rides the flash kernel on TPU.
-        a = mha(q, kf, vf, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
+        # Structural masks so prefill rides the flash kernel on TPU;
+        # K/V stay at KV heads (GQA-native kernel — no repeated copy).
+        a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
         h = h + qmm(lp, "wo", a, cfg.qkernels)
@@ -337,14 +336,13 @@ def _prefill_layers(
             v_all = jnp.concatenate([vpl, v], axis=2)
         else:
             k_all, v_all = k, v
-        kf = jnp.repeat(k_all, H // KV, axis=1)
-        vf = jnp.repeat(v_all, H // KV, axis=1)
         # causal with Lk > Lq: suffix token j sees all prefix keys plus
         # suffix keys <= j (mha's diagonal offset is Lk - Lq = Lp).
+        # K/V stay at KV heads (GQA-native flash / XLA-side repeat).
         if dense_win is not None:
-            a = mha(q, kf, vf, mask=dense_win, scale=Dh**-0.5)
+            a = mha(q, k_all, v_all, mask=dense_win, scale=Dh**-0.5)
         else:
-            a = mha(q, kf, vf, kv_mask=kv_mask_full, causal=True,
+            a = mha(q, k_all, v_all, kv_mask=kv_mask_full, causal=True,
                     scale=Dh**-0.5, use_flash=cfg.use_flash,
                     mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)

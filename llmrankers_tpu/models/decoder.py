@@ -29,12 +29,6 @@ def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
     return x.reshape(b, l, n_heads, head_dim).transpose(0, 2, 1, 3)
 
 
-def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
-    if n_rep == 1:
-        return x
-    return jnp.repeat(x, n_rep, axis=1)
-
-
 def positions_from_mask(attn_mask: jax.Array) -> jax.Array:
     """[B, L] {0,1} -> position ids, 0-based from the first real token."""
     return jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
@@ -86,8 +80,8 @@ def forward_hidden(
             k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k = _repeat_kv(k, H // KV)
-        v = _repeat_kv(v, H // KV)
+        # K/V stay at KV heads: the flash kernel reads them GQA-native
+        # and the XLA path repeats internally (ops/attention.py::mha).
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)

@@ -31,6 +31,10 @@ def mha(
 ) -> jax.Array:
     """Multi-head attention. Returns [B, H, Lq, Dh].
 
+    GQA-native: ``k``/``v`` may carry fewer (KV) heads than ``q``. The
+    flash kernel consumes them directly (no repeated-K/V materialization
+    — see flash.flash_mha); the XLA path repeats here.
+
     Masking is expressed structurally (``kv_mask`` + ``causal`` +
     ``window``) so the Pallas flash kernel can consume it without
     materializing a dense [B, H, Lq, Lk] mask; a dense ``mask`` is still
@@ -57,6 +61,7 @@ def mha(
         even = not multi or (
             q.shape[0] % mesh.shape.get("data", 1) == 0
             and q.shape[1] % mesh.shape.get("model", 1) == 0
+            and k.shape[1] % mesh.shape.get("model", 1) == 0
         )
         if even:
             from .flash import flash_mha  # lazy: pallas import on TPU path
@@ -66,6 +71,10 @@ def mha(
                 scale=scale, mesh=mesh if multi else None, window=window,
             )
 
+    if k.shape[1] != q.shape[1]:  # GQA repeat for the XLA path only
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     dtype = q.dtype
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

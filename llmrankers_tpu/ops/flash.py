@@ -235,10 +235,19 @@ def flash_mha(
     pspecs induce — see parallel/mesh.py), so every device runs the Pallas
     kernel on its local [B/dp, H/tp] slice with no cross-device traffic.
     This replaces the reference's delegation to vLLM's TP attention
-    kernels (Rank-R1/run_setwise.py:121-126)."""
+    kernels (Rank-R1/run_setwise.py:121-126).
+
+    GQA-native: ``k``/``v`` may carry FEWER heads than ``q`` (KV heads,
+    KV | H). Query head h reads K/V head h // (H//KV) via the BlockSpec
+    index map, so the [B, H, Lk, Dh] repeated K/V (8x the bytes at
+    Qwen2.5-3B's H=16, KV=2 — gigabytes per prefill batch) is never
+    materialized; consecutive q heads in the grid share the same K/V
+    block index, so Pallas keeps the tile VMEM-resident across them."""
     B, H, Lq, Dh = q.shape
-    Lk = k.shape[2]
-    sdim = 2
+    KVH, Lk = k.shape[1], k.shape[2]
+    if H % KVH:
+        raise ValueError(f"kv heads {KVH} must divide q heads {H}")
+    G = H // KVH
     if bias is not None and bias.shape[0] != 1:
         raise ValueError("flash path requires batch-invariant bias")
 
@@ -302,8 +311,8 @@ def flash_mha(
         grid = (Hl, Lq_p // tq, Bl)
         in_specs = [
             pl.BlockSpec((1, 1, tq, Dh_p), lambda h, i, b: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda h, i, b: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda h, i, b: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda h, i, b: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Lk_p, Dh_p), lambda h, i, b: (b, h // G, 0, 0)),
         ]
         if has_kvm:
             in_specs.append(pl.BlockSpec((1, 1, Lk_p), lambda h, i, b: (b, 0, 0)))

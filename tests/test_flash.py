@@ -352,3 +352,28 @@ def test_flash_packed_unaligned_length(_interpret_packed):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_flash_gqa_native_kv_heads():
+    """K/V with fewer (KV) heads than q: the kernel's h//G index map must
+    reproduce the repeated-KV reference exactly (causal + left padding +
+    GQA is the decoder-prefill configuration)."""
+    B, H, KV, L, D = 2, 8, 2, 128, 64
+    q = _rand((B, H, L, D), 60)
+    k = _rand((B, KV, L, D), 61)
+    v = _rand((B, KV, L, D), 62)
+    kv_mask = np.ones((B, L), np.int32)
+    kv_mask[1, :30] = 0  # left padding
+    kv_mask = jnp.asarray(kv_mask)
+    rep = H // KV
+    want = attention.mha(
+        q, jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1),
+        kv_mask=kv_mask, causal=True, scale=0.125,
+    )
+    got = flash.flash_mha(q, k, v, kv_mask=kv_mask, causal=True,
+                          scale=0.125, block_q=64, block_k=128)
+    w, g = np.asarray(want), np.asarray(got)
+    np.testing.assert_allclose(g[0], w[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g[1][:, 30:], w[1][:, 30:],
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(np.isfinite(g))
