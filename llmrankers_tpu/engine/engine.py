@@ -455,7 +455,11 @@ class ScoringEngine:
             len(pre_rows[g]) + len(s) > cap for g, s in zip(gidx, suf_rows)
         ):
             return None
-        pids, pmask, _, _ = self._pad_batch(pre_rows)
+        # Cap the prefix batch at the true group count: bucketing 1-3
+        # unique prefixes up to the 8-row batch bucket multiplies the
+        # prefix prefill (the longest sequences in the dispatch) by the
+        # pad factor — measured 8x wasted prefix compute at G=1.
+        pids, pmask, _, _ = self._pad_batch(pre_rows, b_cap=len(pre_rows))
         sids, smask, n, B = self._pad_batch(suf_rows, b_cap=b_cap)
         gvec = np.zeros((B,), np.int32)
         gvec[: len(gidx)] = gidx
