@@ -391,7 +391,20 @@ def rankr1_spec(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128, K=8):
     rows = [pre + rng.randint(2, 30000, n_suffix).tolist() for _ in range(batch)]
 
     out = {"model": "qwen2.5-3b-shape", "batch": batch, "draft_k": K}
-    for label, kw in (("plain", {}), ("spec", {"spec_lookup": K})):
+    for label, kw in (
+        ("plain", {}),
+        ("spec", {"spec_lookup": K}),
+        # The composed serving config: speculation + int8 weights +
+        # int8 KV at the memory-limit batch (one dispatch).
+        ("spec_int8_kv8_b32", {"spec_lookup": K, "quantize": "int8",
+                               "kv_quantize": "int8", "batch": 32}),
+    ):
+        bsz = kw.pop("batch", batch)
+        if bsz != batch:
+            rows_b = [pre + rng.randint(2, 30000, n_suffix).tolist()
+                      for _ in range(bsz)]
+        else:
+            rows_b = rows
         eng = ScoringEngine("decoder", cfg, params, tok, **kw)
         # Isolate decode by differencing two budgets (generate() walls
         # include the shared prefill). The constant stream is the pad
@@ -399,14 +412,14 @@ def rankr1_spec(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128, K=8):
         # so count batch * Δbudget.
         walls = []
         for mnew in (new_tokens, 3 * new_tokens):
-            eng.generate(rows, max_new_tokens=mnew, chunk_tokens=64)
+            eng.generate(rows_b, max_new_tokens=mnew, chunk_tokens=64)
             t0 = time.perf_counter()
-            eng.generate(rows, max_new_tokens=mnew, chunk_tokens=64)
+            eng.generate(rows_b, max_new_tokens=mnew, chunk_tokens=64)
             walls.append(time.perf_counter() - t0)
         out[f"{label}_decode_tok_per_sec"] = round(
-            batch * 2 * new_tokens / (walls[1] - walls[0]), 1
+            bsz * 2 * new_tokens / (walls[1] - walls[0]), 1
         )
-        if kw:
+        if label == "spec":
             st = eng.spec_stats
             out["accept_tokens_per_round"] = round(
                 st["tokens"] / max(1, st["rounds"]), 2
