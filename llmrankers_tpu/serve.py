@@ -75,6 +75,11 @@ class RerankService:
         self.served = 0
         self.rejected = 0  # 429s (queue full)
         self.cancelled_skipped = 0  # jobs dropped before device dispatch
+        self._stats_lock = threading.Lock()
+        # Per-adapter ranker clones for concurrent group dispatch
+        # (see _ranker_for).
+        self._rankers: Dict[Optional[str], LlmRanker] = {}
+        self._ranker_lock = threading.Lock()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -137,44 +142,88 @@ class RerankService:
             groups: Dict[Optional[str], List[_Job]] = {}
             for j in jobs:
                 groups.setdefault(j.adapter, []).append(j)
-            for adapter, grp in groups.items():
-                # Re-check right before dispatch: earlier groups in this
-                # window may have run for seconds.
-                fresh = []
-                for j in grp:
-                    if j.cancelled:
-                        self.cancelled_skipped += 1
-                        j.done.set()
-                    else:
-                        fresh.append(j)
-                grp = fresh
-                if not grp:
-                    continue
-                try:
-                    if hasattr(self.ranker, "adapter"):
-                        self.ranker.adapter = adapter
-                    elif adapter:
-                        raise ValueError("ranker does not support adapters")
-                    results = self.ranker.rerank_many(
-                        [j.query for j in grp], [j.ranking for j in grp]
+            # Concurrent group dispatch: each adapter group runs on its
+            # own thread with a per-adapter ranker clone (same engine —
+            # scoring/merge paths are lock-guarded), so one group's host
+            # work (tokenize/pack/parse) overlaps another's device
+            # compute, like the CLI's cohort pipeline. Only when the
+            # engine can keep every group's merged weights resident —
+            # otherwise concurrent merges would thrash the adapter LRU
+            # and serialize anyway, so run sequentially.
+            cache_cap = getattr(
+                getattr(self.ranker, "engine", None),
+                "_max_cached_adapters", 1,
+            )
+            if len(groups) > 1 and len(groups) <= cache_cap:
+                threads = [
+                    threading.Thread(
+                        target=self._run_group, args=(adapter, grp)
                     )
-                    per_query = getattr(self.ranker, "per_query_stats", None)
-                    for i, (job, res) in enumerate(zip(grp, results)):
-                        job.result = res
-                        if per_query is not None:
-                            s = per_query[i]
-                            job.stats = {
-                                "comparisons": s.comparisons,
-                                "prompt_tokens": s.prompt_tokens,
-                                "completion_tokens": s.completion_tokens,
-                            }
-                    self.served += len(grp)
-                except Exception as e:  # surface per-job
-                    for job in grp:
-                        job.error = f"{type(e).__name__}: {e}"
-                finally:
-                    for job in grp:
-                        job.done.set()
+                    for adapter, grp in groups.items()
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            else:
+                for adapter, grp in groups.items():
+                    self._run_group(adapter, grp)
+
+    def _ranker_for(self, adapter: Optional[str]):
+        """Per-adapter ranker clone (lazy): shares the engine, owns its
+        ``adapter`` field and per-call stats, so groups can dispatch
+        concurrently without racing on a shared mutable adapter."""
+        if adapter is None and not hasattr(self.ranker, "adapter"):
+            return self.ranker
+        with self._ranker_lock:
+            r = self._rankers.get(adapter)
+            if r is None:
+                import copy as _copy
+
+                r = _copy.copy(self.ranker)
+                r.adapter = adapter
+                self._rankers[adapter] = r
+        return r
+
+    def _run_group(self, adapter: Optional[str], grp: List[_Job]) -> None:
+        # Re-check right before dispatch: earlier groups in this
+        # window may have run for seconds.
+        fresh = []
+        for j in grp:
+            if j.cancelled:
+                with self._stats_lock:
+                    self.cancelled_skipped += 1
+                j.done.set()
+            else:
+                fresh.append(j)
+        grp = fresh
+        if not grp:
+            return
+        try:
+            if not hasattr(self.ranker, "adapter") and adapter:
+                raise ValueError("ranker does not support adapters")
+            ranker = self._ranker_for(adapter)
+            results = ranker.rerank_many(
+                [j.query for j in grp], [j.ranking for j in grp]
+            )
+            per_query = getattr(ranker, "per_query_stats", None)
+            for i, (job, res) in enumerate(zip(grp, results)):
+                job.result = res
+                if per_query is not None:
+                    s = per_query[i]
+                    job.stats = {
+                        "comparisons": s.comparisons,
+                        "prompt_tokens": s.prompt_tokens,
+                        "completion_tokens": s.completion_tokens,
+                    }
+            with self._stats_lock:
+                self.served += len(grp)
+        except Exception as e:  # surface per-job
+            for job in grp:
+                job.error = f"{type(e).__name__}: {e}"
+        finally:
+            for job in grp:
+                job.done.set()
 
 
 def make_handler(service: RerankService, default_top_n: Optional[int]):

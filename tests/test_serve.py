@@ -233,3 +233,41 @@ def test_cancelled_job_never_dispatches():
     assert "second" not in dispatched  # provably never reached the engine
     assert service.cancelled_skipped == 1
     service.shutdown()
+
+
+def test_concurrent_adapter_groups_dispatch_in_parallel():
+    """With enough adapter-cache capacity, different adapter groups run
+    on separate threads (one group's host work overlaps another's device
+    compute). Both groups must be inside rerank_many simultaneously."""
+    import threading as _th
+
+    from llmrankers_tpu.types import SearchResult
+
+    barrier = _th.Barrier(2, timeout=10)
+    seen = []
+
+    class _Eng:
+        _max_cached_adapters = 2
+
+    class FakeRanker:
+        adapter = None
+        per_query_stats = None
+        engine = _Eng()
+
+        def rerank_many(self, queries, rankings):
+            barrier.wait()  # deadlocks unless BOTH groups are in flight
+            seen.append((self.adapter, len(queries)))
+            return [list(r) for r in rankings]
+
+    service = RerankService(FakeRanker(), max_batch=8, window_ms=50.0,
+                            adapters=["a", "b"])
+    docs = [SearchResult("0", 0.0, "x")]
+    jobs = [service.submit("q1", list(docs), "a"),
+            service.submit("q2", list(docs), "b")]
+    for j in jobs:
+        j.done.wait(timeout=10)
+        assert j.error is None, j.error
+    assert dict(seen) == {"a": 1, "b": 1}
+    # Per-adapter clones, not the shared ranker, carried the adapter.
+    assert service.ranker.adapter is None
+    service.shutdown()
