@@ -539,6 +539,11 @@ def main():
         detail["rankr1_int4_kv8_b32"] = rankr1_decode(
             batch=32, quantize="int4", kv_quantize="int8"
         )
+        # Max-compression serving config: int4 weights + int4 KV (planar
+        # nibble cache, quarter KV stream). KV gains grow with batch.
+        detail["rankr1_int4_kv4_b32"] = rankr1_decode(
+            batch=32, quantize="int4", kv_quantize="int4"
+        )
         detail["rankr1_spec"] = rankr1_spec()
     xl = None
     if "xl" in sections:

@@ -122,10 +122,12 @@ def build_parsers():
                             "alternating adapters (each copy costs a full "
                             "model's HBM)")
     run_p.add_argument("--kv_quantize", type=str, default=None,
-                       choices=["int8"],
-                       help="int8 KV cache for decoder models (halves the "
-                            "cache HBM stream during decode and doubles "
-                            "rows-per-chip under the memory cap)")
+                       choices=["int8", "int4"],
+                       help="quantized KV cache for decoder models: int8 "
+                            "halves the cache HBM stream during decode and "
+                            "doubles rows-per-chip under the memory cap; "
+                            "int4 (planar nibble packing, per-half scales) "
+                            "quarters it")
     run_p.add_argument("--spec_lookup", type=int, default=0,
                        help="K>0: prompt-lookup speculative decoding with "
                             "K-token drafts (decoder generation; outputs "

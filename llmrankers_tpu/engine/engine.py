@@ -86,7 +86,7 @@ class ScoringEngine:
         use_flash: str = "auto",  # 'auto' | 'on' | 'off'
         prefix_share: bool = True,  # share prompt-prefix KV (decoder kind)
         quantize: Optional[str] = None,  # None | 'int8' | 'int4' (weights)
-        kv_quantize: Optional[str] = None,  # None | 'int8' (decoder KV cache)
+        kv_quantize: Optional[str] = None,  # None|'int8'|'int4' (decoder KV)
         spec_lookup: int = 0,  # >0: prompt-lookup speculative decoding
         # with K-token drafts (decoder generation; vLLM ngram-spec parity)
         max_cached_adapters: int = 1,  # merged-weight copies kept on device
@@ -156,11 +156,13 @@ class ScoringEngine:
                 if _kernel_on:
                     cfg = dataclasses.replace(cfg, int8_kernel=True)
         if kv_quantize is not None:
-            if kv_quantize != "int8":
+            if kv_quantize not in ("int8", "int4"):
                 raise ValueError(f"unknown kv_quantize mode {kv_quantize!r}")
             if kind != "decoder":
-                raise ValueError("int8 KV cache targets decoder models")
-            cfg = dataclasses.replace(cfg, kv_quant=True)
+                raise ValueError("quantized KV cache targets decoder models")
+            if kv_quantize == "int4" and cfg.head_dim_ % 2:
+                raise ValueError("int4 KV cache needs an even head_dim")
+            cfg = dataclasses.replace(cfg, kv_quant=kv_quantize)
         if spec_lookup and kind != "decoder":
             raise ValueError("spec_lookup targets decoder generation")
         self.spec_lookup = int(spec_lookup)
@@ -519,8 +521,14 @@ class ScoringEngine:
                 + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # transients
             )
         else:
-            # int8 KV halves the cache bytes (plus fp32 scales, 4/Dh).
-            kv_bpe = (1 + 4.0 / cfg.head_dim_) if cfg.kv_quant else bpe
+            # int8 KV halves the cache bytes (plus one fp32 scale, 4/Dh);
+            # int4 packs two dims per byte (plus two fp32 scales, 8/Dh).
+            if cfg.kv_quant == "int4":
+                kv_bpe = 0.5 + 8.0 / cfg.head_dim_
+            elif cfg.kv_quant:
+                kv_bpe = 1 + 4.0 / cfg.head_dim_
+            else:
+                kv_bpe = bpe
             # Prefill transient live set per row: [L, d_ff] FFN
             # intermediates (one fewer when the fused gated kernel keeps
             # the gate/up pair in VMEM) + ~10 [L, D] streams

@@ -51,6 +51,104 @@ def _kv_quant(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, amax / 127.0
 
 
+def _kv_quant4(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Planar-packed symmetric int4 for KV-cache entries:
+    x [..., Dh] -> (int8 bytes [..., Dh//2], fp32 scales [..., 2]).
+
+    Planar layout: dims d and d+Dh/2 share one byte (low nibble = lower
+    half, high nibble = upper half). Unpacking is then two elementwise
+    shifts with NO reshape/interleave, so XLA fuses the unpack straight
+    into the attention dot operands and only nibbles ever cross HBM —
+    the same lesson as the int4 weight kernel (docs/NEXT.md: an
+    interleaved unpack materializes the dequantized cache and loses the
+    bandwidth win). Each half carries its own per-(position, kv-head)
+    scale (amax/7, range -7..7), which the planar split gives for free:
+    the half-dots dequantize independently (see _cached_qk/_cached_pv).
+    """
+    h = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    lo, hi = xf[..., :h], xf[..., h:]
+
+    def q4(part):
+        amax = jnp.maximum(jnp.max(jnp.abs(part), axis=-1, keepdims=True), 1e-8)
+        q = jnp.clip(jnp.round(part / amax * 7.0), -7, 7).astype(jnp.int8)
+        return q, amax / 7.0
+
+    qlo, slo = q4(lo)
+    qhi, shi = q4(hi)
+    packed = jnp.left_shift(qhi, 4) | (qlo & jnp.int8(0x0F))
+    return packed, jnp.concatenate([slo, shi], axis=-1)
+
+
+def _kv_pack(x: jax.Array, mode) -> Tuple[jax.Array, jax.Array]:
+    """Quantize a K or V block for the cache under ``mode``
+    ('int8' | 'int4'; callers gate on cfg.kv_quant truthiness first)."""
+    return _kv_quant4(x) if mode == "int4" else _kv_quant(x)
+
+
+def _unpack4(packed: jax.Array, dtype):
+    """Planar int4 bytes -> (lower-half, upper-half) int values in
+    ``dtype``. Pure elementwise (arithmetic shifts sign-extend), so XLA
+    fuses both into the consuming dot."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def _texp(scale_t: jax.Array, out_ndim: int) -> jax.Array:
+    """Expand a per-(B, KV, T) scale for broadcast against a scores/probs
+    tensor of rank ``out_ndim`` whose last axis is T ([B,KV,G,T] decode,
+    [B,KV,G,S,T] spec verify)."""
+    for _ in range(out_ndim - 3):
+        scale_t = scale_t[:, :, None]
+    return scale_t
+
+
+def _cached_qk(qg, kc, dtype, mode, sub: str):
+    """q·K^T against a cached K in any kv_quant mode; ``sub`` contracts
+    the last axis of both operands (d) with K's T axis second-to-last.
+    Dequantization folds AFTER the dot (scales are per output column t);
+    int4 splits into two half-Dh dots, one per nibble plane, each with
+    its own scale — no unpacked K ever materializes."""
+    if mode == "int4":
+        kp, ks = kc
+        h = qg.shape[-1] // 2
+        k_lo, k_hi = _unpack4(kp, dtype)
+        s_lo = jnp.einsum(sub, qg[..., :h], k_lo,
+                          preferred_element_type=jnp.float32)
+        s_hi = jnp.einsum(sub, qg[..., h:], k_hi,
+                          preferred_element_type=jnp.float32)
+        nd = s_lo.ndim
+        return s_lo * _texp(ks[..., 0], nd) + s_hi * _texp(ks[..., 1], nd)
+    if mode:  # int8
+        k8, ksl = kc
+        s = jnp.einsum(sub, qg, k8.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        return s * _texp(ksl[..., 0], s.ndim)
+    return jnp.einsum(sub, qg, kc, preferred_element_type=jnp.float32)
+
+
+def _cached_pv(p, vc, dtype, mode, sub: str):
+    """softmax-probs·V against a cached V in any kv_quant mode; ``sub``
+    contracts p's last axis (t) with V's T axis. The per-t scale folds
+    into p BEFORE the dot; int4 runs one half-dot per nibble plane and
+    concatenates along Dh (a single small [.., Dh] concat)."""
+    if mode == "int4":
+        vp, vs = vc
+        v_lo, v_hi = _unpack4(vp, dtype)
+        a_lo = jnp.einsum(sub, (p * _texp(vs[..., 0], p.ndim)).astype(dtype),
+                          v_lo, preferred_element_type=jnp.float32)
+        a_hi = jnp.einsum(sub, (p * _texp(vs[..., 1], p.ndim)).astype(dtype),
+                          v_hi, preferred_element_type=jnp.float32)
+        return jnp.concatenate([a_lo, a_hi], axis=-1)
+    if mode:  # int8
+        v8, vsl = vc
+        return jnp.einsum(sub, (p * _texp(vsl[..., 0], p.ndim)).astype(dtype),
+                          v8.astype(dtype), preferred_element_type=jnp.float32)
+    return jnp.einsum(sub, p.astype(dtype), vc,
+                      preferred_element_type=jnp.float32)
+
+
 def _qkv(lp, hn, cfg):
     """q/k/v projections via the quant-state dispatcher (models/quant.qmm):
     bf16, w8a16 int8, or the Pallas W4A8 int4 kernel when cfg.int4_kernel."""
@@ -255,8 +353,8 @@ def decoder_prefill(
         f = _ffn(lp, hn, cfg)
         # Cache padded out to T along the length axis.
         if cfg.kv_quant:
-            k8, ks = _kv_quant(k)
-            v8, vs = _kv_quant(v)
+            k8, ks = _kv_pack(k, cfg.kv_quant)
+            v8, vs = _kv_pack(v, cfg.kv_quant)
             pad = ((0, 0), (0, 0), (0, T - L), (0, 0))
             kc = (jnp.pad(k8, pad), jnp.pad(ks, pad))
             vc = (jnp.pad(v8, pad), jnp.pad(vs, pad))
@@ -405,8 +503,8 @@ def decoder_shared_prefill(
     k_all = jnp.concatenate([pre_k, ks], axis=3)
     v_all = jnp.concatenate([pre_v, vs], axis=3)
     if cfg.kv_quant:
-        k8, ksc = _kv_quant(k_all)
-        v8, vsc = _kv_quant(v_all)
+        k8, ksc = _kv_pack(k_all, cfg.kv_quant)
+        v8, vsc = _kv_pack(v_all, cfg.kv_quant)
         k_cache = (jnp.pad(k8, pad), jnp.pad(ksc, pad))
         v_cache = (jnp.pad(v8, pad), jnp.pad(vsc, pad))
     else:
@@ -516,23 +614,11 @@ def decoder_decode_chunk(
             # to HBM every step).
             G = H // KV
             qg = q.reshape(B, KV, G, Dh)
-            if cfg.kv_quant:
-                # int8 cache: dequant folds into the dots — the k scale
-                # (per output column t) applies AFTER the q.k dot, the v
-                # scale (per contracted t) folds into p. Only int8 bytes
-                # cross HBM.
-                k8l, ksl = kcl
-                v8l, vsl = vcl
-                s = jnp.einsum(
-                    "bkgd,bktd->bkgt", qg, k8l.astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) * ksl[..., 0][:, :, None, :]
-            else:
-                v8l = vcl
-                vsl = None
-                s = jnp.einsum(
-                    "bkgd,bktd->bkgt", qg, kcl, preferred_element_type=jnp.float32
-                )
+            # Quantized cache: dequant folds into the dots — the k scale
+            # (per output column t) applies AFTER the q.k dot, the v
+            # scale (per contracted t) folds into p. Only quantized
+            # bytes cross HBM (_cached_qk/_cached_pv dispatch on mode).
+            s = _cached_qk(qg, kcl, dtype, cfg.kv_quant, "bkgd,bktd->bkgt")
             s = s * (Dh**-0.5)
             s = jnp.where(amask[:, None, None, :], s, NEG_INF)
             # Current token's self-attention as an online-softmax term
@@ -544,14 +630,8 @@ def decoder_decode_chunk(
             p = jnp.exp(s - m[..., None])
             p_self = jnp.exp(s_self - m)
             z = p.sum(axis=-1) + p_self
-            if vsl is not None:
-                p = p * vsl[..., 0][:, :, None, :]
-                v8l = v8l.astype(dtype)
             a = (
-                jnp.einsum(
-                    "bkgt,bktd->bkgd", p.astype(dtype), v8l,
-                    preferred_element_type=jnp.float32,
-                )
+                _cached_pv(p, vcl, dtype, cfg.kv_quant, "bkgt,bktd->bkgd")
                 + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
             ) / z[..., None]
             h = h + qmm(lp, "wo", a.astype(dtype).reshape(B, H * Dh),
@@ -564,7 +644,8 @@ def decoder_decode_chunk(
 
         def _append(cache_, new):
             if cfg.kv_quant:
-                q8, sc = _kv_quant(new)  # [Ld,B,KV,Dh] -> + scale [Ld,B,KV,1]
+                # [Ld,B,KV,Dh] -> payload + scale [Ld,B,KV,1 or 2]
+                q8, sc = _kv_pack(new, cfg.kv_quant)
                 return (
                     jax.lax.dynamic_update_slice(
                         cache_[0], q8[:, :, :, None, :], (0, 0, 0, L + t, 0)
@@ -774,38 +855,20 @@ def decoder_spec_decode_chunk(
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             qg = q.reshape(B, KV, G, S, Dh)
-            if cfg.kv_quant:
-                k8l, ksl = kcl
-                v8l, vsl = vcl
-                s_c = jnp.einsum(
-                    "bkgsd,bktd->bkgst", qg, k8l.astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) * ksl[..., 0][:, :, None, None, :]
-            else:
-                v8l, vsl = vcl, None
-                s_c = jnp.einsum(
-                    "bkgsd,bktd->bkgst", qg, kcl,
-                    preferred_element_type=jnp.float32,
-                )
+            s_c = _cached_qk(qg, kcl, dtype, cfg.kv_quant,
+                             "bkgsd,bktd->bkgst")
             s_c = s_c * (Dh**-0.5)
             s_c = jnp.where(amask, s_c, NEG_INF)
             # In-block attention on earlier block positions. Under
-            # kv_quant they go through the SAME int8 fold as the cache
-            # (the scan would have appended them a step earlier).
+            # kv_quant they go through the SAME quantize fold as the
+            # cache (the scan would have appended them a step earlier).
             if cfg.kv_quant:
-                k8b, ksb = _kv_quant(k)
-                v8b, vsb = _kv_quant(v)
-                s_b = jnp.einsum(
-                    "bkgsd,bkud->bkgsu", qg, k8b.astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) * ksb[..., 0][:, :, None, None, :]
-                vb, vsb_col = v8b.astype(dtype), vsb[..., 0][:, :, None, None, :]
+                kb = _kv_pack(k, cfg.kv_quant)
+                vb = _kv_pack(v, cfg.kv_quant)
             else:
-                s_b = jnp.einsum(
-                    "bkgsd,bkud->bkgsu", qg, k,
-                    preferred_element_type=jnp.float32,
-                )
-                vb, vsb_col = v, None
+                kb, vb = k, v
+            s_b = _cached_qk(qg, kb, dtype, cfg.kv_quant,
+                             "bkgsd,bkud->bkgsu")
             s_b = s_b * (Dh**-0.5)
             s_b = jnp.where(tri[None, None, None], s_b, NEG_INF)
             # Each token's own K/V, always unquantized (the scan's rank-1
@@ -821,20 +884,11 @@ def decoder_spec_decode_chunk(
             p_b = jnp.exp(s_b - m[..., None])
             p_self = jnp.exp(s_self - m)
             z = p_c.sum(axis=-1) + p_b.sum(axis=-1) + p_self
-            if vsl is not None:
-                p_c = p_c * vsl[..., 0][:, :, None, None, :]
-                v8l = v8l.astype(dtype)
-            if vsb_col is not None:
-                p_b = p_b * vsb_col
             a = (
-                jnp.einsum(
-                    "bkgst,bktd->bkgsd", p_c.astype(dtype), v8l,
-                    preferred_element_type=jnp.float32,
-                )
-                + jnp.einsum(
-                    "bkgsu,bkud->bkgsd", p_b.astype(dtype), vb,
-                    preferred_element_type=jnp.float32,
-                )
+                _cached_pv(p_c, vcl, dtype, cfg.kv_quant,
+                           "bkgst,bktd->bkgsd")
+                + _cached_pv(p_b, vb, dtype, cfg.kv_quant,
+                             "bkgsu,bkud->bkgsd")
                 + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :, :]
             ) / z[..., None]
             a = (
@@ -873,8 +927,8 @@ def decoder_spec_decode_chunk(
 
         # --- append block to cache/history at per-row positions --------
         if cfg.kv_quant:
-            k8, ks = _kv_quant(k_new)
-            v8, vs = _kv_quant(v_new)
+            k8, ks = _kv_pack(k_new, cfg.kv_quant)
+            v8, vs = _kv_pack(v_new, cfg.kv_quant)
             kc = (_row_append(kc[0], k8, wp, 2),
                   _row_append(kc[1], ks, wp, 2))
             vc = (_row_append(vc[0], v8, wp, 2),

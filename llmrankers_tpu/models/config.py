@@ -128,10 +128,14 @@ class DecoderConfig:
     bos_token_id: int = 1
     use_flash: bool = False
     flash_mesh: Optional[Any] = None  # see T5Config.flash_mesh
-    # int8 KV cache (per-position/per-kv-head scales): halves the cache
-    # HBM stream during decode and the per-row cache footprint. Set by
-    # the engine via kv_quantize='int8'.
-    kv_quant: bool = False
+    # Quantized KV cache: None | 'int8' | 'int4'. int8 stores
+    # per-(position, kv-head) scales and halves the cache HBM stream
+    # during decode plus the per-row cache footprint; int4 packs two
+    # nibbles per byte in planar layout (dims d and d+Dh/2 share a
+    # byte) with per-(position, kv-head, half) scales and quarters the
+    # stream. Set by the engine via kv_quantize=. All sites truthiness-
+    # test this field, so the old bool semantics still hold.
+    kv_quant: Optional[str] = None
     # Route int4-packed matmul sites through the Pallas W4A8 kernel
     # (set by the engine for single-device TPU when quantize='int4';
     # multi-device GSPMD uses the XLA unpack path). See

@@ -51,11 +51,15 @@ def test_spec_matches_plain_shared_prefix(tiny):
     assert a == b and an == bn
 
 
-def test_spec_matches_with_int8_kv(tiny):
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_spec_matches_with_quantized_kv(tiny, mode):
+    """Spec verify must fold fresh in-block K/V through the SAME
+    quantizer as the cache so outputs equal the step-by-step scan for
+    either cache format."""
     cfg, params = tiny
     tok = ByteTokenizer(cfg.vocab_size)
-    kvq = ScoringEngine("decoder", cfg, params, tok, kv_quantize="int8")
-    both = ScoringEngine("decoder", cfg, params, tok, kv_quantize="int8",
+    kvq = ScoringEngine("decoder", cfg, params, tok, kv_quantize=mode)
+    both = ScoringEngine("decoder", cfg, params, tok, kv_quantize=mode,
                          spec_lookup=4)
     rows = [list(range(2 + 7 * i, 64 + 5 * i)) for i in range(3)]
     a, _ = kvq.generate(rows, max_new_tokens=16, chunk_tokens=8)
