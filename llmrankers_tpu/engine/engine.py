@@ -45,6 +45,16 @@ DEFAULT_LEN_BUCKETS = (64, 128, 256, 384, 512, 640, 768, 1024, 1536, 2048, 4096)
 DEFAULT_BATCH_BUCKETS = (8, 32, 64, 128, 256, 512)
 
 
+def _is_oom(e: BaseException) -> bool:
+    """True for XLA device-memory exhaustion (any jaxlib spelling)."""
+    s = str(e)
+    return (
+        "RESOURCE_EXHAUSTED" in s
+        or "Resource exhausted" in s
+        or "out of memory" in s.lower()
+    )
+
+
 def _bucket(n: int, ladder: Sequence[int]) -> int:
     """Smallest ladder entry >= n. Beyond the ladder top, round UP to the
     next multiple of 512 instead of clamping — clamping would silently
@@ -254,6 +264,11 @@ class ScoringEngine:
         # a dedicated lock keeps them exact (they never sit on the
         # device-dispatch path, so contention is negligible).
         self._stats_lock = threading.Lock()
+        # RESOURCE_EXHAUSTED backoff memory: (kind, L, max_new) -> rows
+        # per dispatch learned from an actual device OOM. _gen_row_limit
+        # is an estimate; this is the session's measured truth, applied
+        # on every later generate() call at the same shape family.
+        self._learned_row_caps: Dict[Any, int] = {}
 
     # ------------------------------------------------------------------
     # Multi-adapter serving
@@ -399,7 +414,13 @@ class ScoringEngine:
                 self.truncated_rows += cut
         B = _bucket(n, self.batch_buckets)
         if b_cap is not None and B > b_cap:
-            B = max(n, b_cap)
+            # Memory-capped dispatch: pad only to the row count the
+            # caller chose (already a _chunks ladder rung), NEVER up to
+            # the cap. Padding 96 chunk rows up to a 110-row cap both
+            # compiled an off-ladder shape and re-created the allocation
+            # the cap exists to prevent (the round-3 bench OOM:
+            # bf16[24,110,16,640,64] cross-K/V, BENCH_r03.json tail).
+            B = n
         # device_put with P('data') needs B divisible by the data axis;
         # the b_cap path can otherwise produce arbitrary sizes (e.g. a
         # 7-row memory-capped generate chunk on a dp=2 mesh).
@@ -486,21 +507,31 @@ class ScoringEngine:
         # Round down to a ladder rung; when the (memory) limit sits below
         # the smallest rung, KEEP the raw limit — rounding up would
         # re-create the allocation the limit exists to prevent (the
-        # caller's _pad_batch(b_cap=...) then compiles that exact shape).
+        # caller's _pad_batch(b_cap=...) then pads to the chunk size).
         # The ladder is DENSER than the batch buckets: generate row
         # limits land between bucket rungs (e.g. a Qwen2.5-3B 1.8k-prompt
         # budget yields ~26 rows), and rounding 26 down to the 8 bucket
         # was measured to cost 3x decode throughput — each dispatch
         # re-streams the full weight set, so rows-per-dispatch IS the
         # decode throughput. A mid rung costs at most one extra compile.
-        ladder = sorted(
-            set(self.batch_buckets) | {12, 16, 24, 48, 96, 192, 384}
-        )
-        fitting = [b for b in ladder if b <= per]
+        fitting = [b for b in self._row_ladder() if b <= per]
         if fitting:
             per = max(fitting)
         for i in range(0, len(rows), per):
             yield i, rows[i : i + per]
+
+    def _row_ladder(self) -> List[int]:
+        """Rows-per-dispatch rungs for memory-capped generate chunks:
+        the batch buckets densified with mid rungs (see _chunks)."""
+        return sorted(set(self.batch_buckets) | {12, 16, 24, 48, 96, 192, 384})
+
+    def _halve_cap(self, n: int) -> int:
+        """Backed-off rows-per-dispatch after an OOM at ``n`` rows: the
+        largest ladder rung <= n//2 (so the retry shape is one the
+        ladder would choose anyway), floor 1."""
+        half = max(1, n // 2)
+        fitting = [b for b in self._row_ladder() if b <= half]
+        return max(fitting) if fitting else half
 
     def _gen_row_limit(self, rows: List[List[int]], max_new: int) -> int:
         """Rows per dispatch so the generation program's KV caches fit HBM.
@@ -515,10 +546,19 @@ class ScoringEngine:
         L = self._cap_len(_bucket(max(len(r) for r in rows), self.len_buckets), 0)
         bpe = jnp.dtype(jnp.bfloat16).itemsize
         if self.kind == "t5":
+            # Cross K/V ([Ld,B,H,L,Dh] x2) dominates; the build peak holds
+            # one extra tensor's worth while the second einsum's result
+            # coexists with the first (generate.t5_greedy_generate emits
+            # the target layout straight from the dot, so there is no
+            # further transpose copy). This is an ESTIMATE — generate()'s
+            # RESOURCE_EXHAUSTED backoff is the hard guarantee; a learned
+            # cap from a real OOM overrides this number for the session.
+            cross = cfg.num_decoder_layers * cfg.num_heads * cfg.d_kv * L * bpe
             per_row = (
-                cfg.num_decoder_layers * cfg.num_heads * cfg.d_kv
-                * (L + max_new + 2) * 2 * bpe      # cross + self K/V
-                + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # transients
+                cross * 3  # ck + cv + build peak
+                + cfg.num_decoder_layers * cfg.num_heads * cfg.d_kv
+                * (max_new + 2) * 2 * bpe          # self K/V (prefix+gen)
+                + 6 * L * max(cfg.d_ff, cfg.d_model) * bpe  # enc transients
             )
         else:
             # int8 KV halves the cache bytes (plus one fp32 scale, 4/Dh);
@@ -676,83 +716,56 @@ class ScoringEngine:
         results: List[str] = [""] * len(prompt_rows)
         ntokens: List[int] = [0] * len(prompt_rows)
         prefix = tuple(int(x) for x in decoder_prefix)
+        if self.kind == "t5" and not prefix:
+            # T5 decoding always starts from the start token; a zero-width
+            # prefix array would be unindexable inside the decode scan.
+            prefix = (int(self.cfg.decoder_start_token_id),)
         if chunk_tokens is None and max_new_tokens >= 512 and self.kind != "t5":
             chunk_tokens = 256
-        row_limit = (
-            self._gen_row_limit(prompt_rows, max_new_tokens)
-            if prompt_rows else None
+        if not prompt_rows:
+            return results, ntokens
+        row_limit = self._gen_row_limit(prompt_rows, max_new_tokens)
+        # Apply (and on OOM, update) the session's learned cap for this
+        # shape family: _gen_row_limit is an estimate; a real
+        # RESOURCE_EXHAUSTED is ground truth (VERDICT r3 weak #1 — one
+        # optimistic estimate must never again be a dead run).
+        L_key = self._cap_len(
+            _bucket(max(len(r) for r in prompt_rows), self.len_buckets), 0
         )
-        for off, chunk in self._chunks(prompt_rows, row_limit):
+        cap_key = ("gen", self.kind, L_key, max_new_tokens)
+        with self._stats_lock:
+            learned = self._learned_row_caps.get(cap_key)
+        if learned is not None:
+            row_limit = min(row_limit, learned)
+        queue: List[Tuple[int, List[List[int]]]] = list(
+            self._chunks(prompt_rows, row_limit)
+        )
+        while queue:
+            off, chunk = queue.pop(0)
+            try:
+                toks = self._generate_dispatch(
+                    pp, chunk, max_new_tokens, prefix, stop_strings,
+                    chunk_tokens, row_limit,
+                )
+            except Exception as e:  # catch-halve-retry on device OOM
+                if len(chunk) == 1 or not _is_oom(e):
+                    raise
+                row_limit = self._halve_cap(len(chunk))
+                with self._stats_lock:
+                    self._learned_row_caps[cap_key] = row_limit
+                logger.warning(
+                    "device OOM at %d generate rows (kind=%s L=%d "
+                    "max_new=%d); backing off to %d rows/dispatch",
+                    len(chunk), self.kind, L_key, max_new_tokens, row_limit,
+                )
+                queue = [
+                    (off + i, sub) for i, sub in self._chunks(chunk, row_limit)
+                ] + queue
+                continue
+            # Token accounting only after a successful dispatch, so an
+            # OOM retry never double-counts the chunk.
             if stats is not None:
                 stats.prompt_tokens += sum(len(r) for r in chunk) + len(prefix) * len(chunk)
-            chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
-            spec = self.spec_lookup > 0 and self.kind == "decoder"
-            # Speculation pads the cache so a budget-crossing verify block
-            # (and the harmless frozen-row block writes after it) stay in
-            # bounds (generate.decoder_spec_decode_chunk docstring).
-            mn_pad = (
-                max_new_tokens + 2 * (self.spec_lookup + 1)
-                if spec else max_new_tokens
-            )
-            grp = None if self.kind == "t5" else self._group(chunk, row_limit)
-            if self.kind == "t5":
-                ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
-                fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
-                toks = np.asarray(fn(pp, *self._put(ids, mask)))[:n]
-            elif grp is not None:
-                n, args = grp
-                B = args[3].shape[0]
-                prompt_len = args[0].shape[1] + args[3].shape[1]
-                shapes = (args[0].shape, args[3].shape)
-                if spec:
-                    fn = self._get_jit("dec_prefill_shared", shapes, mn_pad)
-                    tok, cache = fn(pp, *args)
-                    Lp = args[0].shape[1]
-                    hist = np.full(
-                        (B, prompt_len + mn_pad), self.tokenizer.pad_id,
-                        np.int32,
-                    )
-                    hist[:, :Lp] = np.asarray(args[0])[np.asarray(args[2])]
-                    hist[:, Lp:prompt_len] = np.asarray(args[3])
-                    toks = self._decode_spec_chunked(
-                        pp, tok, cache, hist, B, prompt_len, n,
-                        max_new_tokens, chunk_tokens or 256, stop_strings,
-                    )
-                elif chunked:
-                    fn = self._get_jit("dec_prefill_shared", shapes, max_new_tokens)
-                    tok, cache = fn(pp, *args)
-                    toks = self._decode_chunked(
-                        pp, tok, cache, B, prompt_len, n,
-                        max_new_tokens, chunk_tokens, stop_strings,
-                    )
-                else:
-                    fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
-                    toks = np.asarray(fn(pp, *args))[:n]
-            elif spec:
-                ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
-                prefill = self._get_jit("dec_prefill", ids.shape, mn_pad)
-                tok, cache = prefill(pp, *self._put(ids, mask))
-                L = ids.shape[1]
-                hist = np.full(
-                    (B, L + mn_pad), self.tokenizer.pad_id, np.int32
-                )
-                hist[:, :L] = ids
-                toks = self._decode_spec_chunked(
-                    pp, tok, cache, hist, B, L, n,
-                    max_new_tokens, chunk_tokens or 256, stop_strings,
-                )
-            elif chunked:
-                ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
-                prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
-                tok, cache = prefill(pp, *self._put(ids, mask))
-                toks = self._decode_chunked(
-                    pp, tok, cache, B, ids.shape[1], n,
-                    max_new_tokens, chunk_tokens, stop_strings,
-                )
-            else:
-                ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
-                fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
-                toks = np.asarray(fn(pp, *self._put(ids, mask)))[:n]
             # The device fills frozen rows with cfg.pad_token_id (which can
             # differ from the tokenizer's pad, e.g. Qwen2); strip both.
             pad_ids = {self.tokenizer.pad_id, int(self.cfg.pad_token_id)}
@@ -784,6 +797,87 @@ class ScoringEngine:
                         text = text[: cut + len(s)]
                 results[off + i] = text
         return results, ntokens
+
+    def _generate_dispatch(
+        self,
+        pp,
+        chunk: List[List[int]],
+        max_new_tokens: int,
+        prefix: Tuple[int, ...],
+        stop_strings: Sequence[str],
+        chunk_tokens: Optional[int],
+        row_limit: Optional[int],
+    ) -> np.ndarray:
+        """One generate dispatch over ``chunk`` rows; returns the emitted
+        token matrix [n, max_new_tokens]. Everything that can hit a
+        device RESOURCE_EXHAUSTED lives here (prefill + decode + fetch),
+        so generate()'s backoff loop can retry the whole chunk smaller."""
+        chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
+        spec = self.spec_lookup > 0 and self.kind == "decoder"
+        # Speculation pads the cache so a budget-crossing verify block
+        # (and the harmless frozen-row block writes after it) stay in
+        # bounds (generate.decoder_spec_decode_chunk docstring).
+        mn_pad = (
+            max_new_tokens + 2 * (self.spec_lookup + 1)
+            if spec else max_new_tokens
+        )
+        grp = None if self.kind == "t5" else self._group(chunk, row_limit)
+        if self.kind == "t5":
+            ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
+            fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
+            return np.asarray(fn(pp, *self._put(ids, mask)))[:n]
+        if grp is not None:
+            n, args = grp
+            B = args[3].shape[0]
+            prompt_len = args[0].shape[1] + args[3].shape[1]
+            shapes = (args[0].shape, args[3].shape)
+            if spec:
+                fn = self._get_jit("dec_prefill_shared", shapes, mn_pad)
+                tok, cache = fn(pp, *args)
+                Lp = args[0].shape[1]
+                hist = np.full(
+                    (B, prompt_len + mn_pad), self.tokenizer.pad_id,
+                    np.int32,
+                )
+                hist[:, :Lp] = np.asarray(args[0])[np.asarray(args[2])]
+                hist[:, Lp:prompt_len] = np.asarray(args[3])
+                return self._decode_spec_chunked(
+                    pp, tok, cache, hist, B, prompt_len, n,
+                    max_new_tokens, chunk_tokens or 256, stop_strings,
+                )
+            if chunked:
+                fn = self._get_jit("dec_prefill_shared", shapes, max_new_tokens)
+                tok, cache = fn(pp, *args)
+                return self._decode_chunked(
+                    pp, tok, cache, B, prompt_len, n,
+                    max_new_tokens, chunk_tokens, stop_strings,
+                )
+            fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
+            return np.asarray(fn(pp, *args))[:n]
+        if spec:
+            ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+            prefill = self._get_jit("dec_prefill", ids.shape, mn_pad)
+            tok, cache = prefill(pp, *self._put(ids, mask))
+            L = ids.shape[1]
+            hist = np.full(
+                (B, L + mn_pad), self.tokenizer.pad_id, np.int32
+            )
+            hist[:, :L] = ids
+            return self._decode_spec_chunked(
+                pp, tok, cache, hist, B, L, n,
+                max_new_tokens, chunk_tokens or 256, stop_strings,
+            )
+        if chunked:
+            ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+            prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
+            tok, cache = prefill(pp, *self._put(ids, mask))
+            return self._decode_chunked(
+                pp, tok, cache, B, ids.shape[1], n,
+                max_new_tokens, chunk_tokens, stop_strings,
+            )
+        ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+        fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
+        return np.asarray(fn(pp, *self._put(ids, mask)))[:n]
 
     def _decode_chunked(
         self,

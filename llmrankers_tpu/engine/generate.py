@@ -188,9 +188,18 @@ def t5_greedy_generate(
     lyr = params["decoder"]["layers"]
 
     # Cross-attention K/V per layer, computed once: [Ld, B, H, L, Dh].
+    # The target layout comes straight out of the dot (head axis split on
+    # the WEIGHT, which is tiny) — the old reshape+transpose of the
+    # [Ld, B, L, H*Dh] result materialized a second full-size copy right
+    # at the allocation peak, which is what pushed the round-3 bench over
+    # HBM at B=110/L=640 (BENCH_r03.json tail).
     def cross_kv(w):
-        y = jnp.einsum("bld,xdi->xbli", enc_out, w, preferred_element_type=jnp.float32)
-        return y.astype(dtype).reshape(Ld, B, L, H, Dh).transpose(0, 1, 3, 2, 4)
+        w4 = w.reshape(Ld, cfg.d_model, H, Dh)
+        y = jnp.einsum(
+            "bld,xdhe->xbhle", enc_out, w4,
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(dtype)
 
     # t5_wmat: sites dequant/unpack transparently for any quant state
     # (the scoring paths dispatch in t5._attn/_ffn; this incremental
