@@ -127,7 +127,9 @@ def build_parsers():
                             "halves the cache HBM stream during decode and "
                             "doubles rows-per-chip under the memory cap; "
                             "int4 (planar nibble packing, per-half scales) "
-                            "quarters it")
+                            "halves the cache FOOTPRINT again vs int8 "
+                            "(more rows-per-chip) — its decode stream "
+                            "matches int8's (docs/ARCHITECTURE.md)")
     run_p.add_argument("--spec_lookup", type=int, default=0,
                        help="K>0: prompt-lookup speculative decoding with "
                             "K-token drafts (decoder generation; outputs "

@@ -1,0 +1,125 @@
+"""bench.py crash isolation (VERDICT r3 #2).
+
+The round-3 driver record died because one section's device OOM destroyed
+every already-measured section and pre-empted the headline (ordered
+last). run_bench must now (a) run the headline first, (b) isolate each
+section's failure to an ``error`` entry, and (c) emit a parseable record
+whatever subset survives. These tests inject faults through run_bench's
+``impl`` seam — no TPU or big models involved.
+"""
+import json
+import sys
+import types
+
+import pytest
+
+sys.path.insert(0, "/root/repo")  # bench.py lives at the repo root
+import bench  # noqa: E402
+
+pytestmark = pytest.mark.quick
+
+ALL = ["xl", "large", "latency", "gen", "rankr1"]
+
+
+def _impl(fail=()):
+    """Fake section functions returning tiny plausible payloads; names in
+    ``fail`` raise instead (the round-3 failure mode was an XLA
+    RESOURCE_EXHAUSTED RuntimeError)."""
+
+    def boom(name):
+        raise RuntimeError(f"RESOURCE_EXHAUSTED injected in {name}")
+
+    def throughput(model, cfg, n_queries, seq_queries, quantize=None):
+        key = "xl_int8" if quantize else (
+            "xl" if "xl" in model else "large"
+        )
+        if key in fail:
+            boom(key)
+        out = {"docs_per_sec": 80.0 if quantize else 40.0, "model": model,
+               "quantize": quantize, "wall_s": 1.0}
+        if seq_queries:
+            out["seq_wall_s_per_query"] = 7.7
+            out["speedup_vs_reference_style"] = 3.1
+        return out
+
+    def latency(cfg, n_queries=16):
+        if "latency" in fail:
+            boom("latency")
+        return {"p50_s": 0.2, "p99_s": 0.3}
+
+    def generation(cfg):
+        if "gen" in fail:
+            boom("gen")
+        return {"docs_per_sec": 25.0}
+
+    def decode(batch=8, quantize=None, kv_quantize=None):
+        if "rankr1" in fail:
+            boom("rankr1")
+        return {"tokens_per_sec_total": 30000.0, "batch": batch}
+
+    return types.SimpleNamespace(
+        flash_parity_on_device=lambda: (
+            boom("flash") if "flash" in fail else {"status": "ok"}
+        ),
+        t5_throughput=throughput,
+        t5_int8_decision_parity=lambda cfg: {"winner_agreement": 1.0},
+        t5_latency=latency,
+        t5_generation=generation,
+        rankr1_decode=decode,
+        rankr1_spec=lambda: (
+            boom("spec") if "spec" in fail else {"speedup": 2.0}
+        ),
+    )
+
+
+def test_clean_run_headline_is_fastest_xl():
+    line = bench.run_bench(ALL, impl=_impl())
+    assert line["metric"] == "setwise_heapsort_flan-t5-xl_docs_per_sec_int8"
+    assert line["value"] == 80.0
+    assert "section_errors" not in line
+    json.dumps(line)  # serializable
+
+
+@pytest.mark.parametrize("victim", ["gen", "latency", "rankr1", "flash"])
+def test_one_section_dying_keeps_headline_and_others(victim):
+    line = bench.run_bench(ALL, impl=_impl(fail={victim}))
+    # The headline survived.
+    assert line["value"] == 80.0
+    assert line["metric"].startswith("setwise_heapsort_flan-t5-xl")
+    # The victim is recorded as an error; everything else has numbers.
+    assert line["section_errors"]
+    for name in line["section_errors"]:
+        assert "RESOURCE_EXHAUSTED" in line["detail"][name]["error"]
+    assert "error" not in line["detail"]["xl"]
+    json.dumps(line)
+
+
+def test_xl_int8_dying_falls_back_to_bf16_headline():
+    line = bench.run_bench(ALL, impl=_impl(fail={"xl_int8"}))
+    assert line["metric"] == "setwise_heapsort_flan-t5-xl_docs_per_sec"
+    assert line["value"] == 40.0
+    assert "xl_int8" in line["section_errors"]
+
+
+def test_xl_bf16_dying_keeps_int8_headline_with_own_baseline():
+    line = bench.run_bench(ALL, impl=_impl(fail={"xl"}))
+    assert line["metric"] == "setwise_heapsort_flan-t5-xl_docs_per_sec_int8"
+    assert line["value"] == 80.0
+    # Without the bf16 row, the int8 row measured its own seq baseline.
+    assert line["detail"]["xl_int8"]["speedup_vs_reference_style"] == 3.1
+
+
+def test_everything_dying_still_emits_parseable_line():
+    line = bench.run_bench(
+        ALL, impl=_impl(fail={"flash", "xl", "xl_int8", "large", "latency",
+                              "gen", "rankr1", "spec"})
+    )
+    assert set(line) >= {"metric", "value", "unit", "vs_baseline", "detail"}
+    assert len(line["section_errors"]) >= 7
+    json.dumps(line)
+
+
+def test_subset_rankr1_headline():
+    line = bench.run_bench(["rankr1"], impl=_impl())
+    assert line["metric"] == "rankr1_decode_tokens_per_sec"
+    assert line["value"] == 30000.0
