@@ -250,6 +250,7 @@ def test_pairwise_bubblesort_matches_oracle(n, k, conflict):
     assert got == expected
 
 
+@pytest.mark.quick
 def test_pairwise_allpair_scoring():
     arr = [3, 1, 4, 1, 5]
     keys = {id(v): str(i) for i, v in enumerate(arr)}
@@ -284,6 +285,7 @@ def test_pairwise_allpair_conflict_split():
     assert dict(ranked) == {"0": 0.5, "1": 0.5}
 
 
+@pytest.mark.quick
 def test_permutation_parsing():
     assert permutation.parse_permutation("[2] > [1] > [3]", 3) == [1, 0, 2]
     # Dedupe keeps first occurrence; out-of-range dropped; missing appended.
@@ -292,6 +294,7 @@ def test_permutation_parsing():
     assert permutation.parse_permutation("The answer: [3]>[1]", 4) == [2, 0, 1, 3]
 
 
+@pytest.mark.quick
 def test_sliding_window_matches_reference_walk():
     # 10 docs, window 4, step 2: windows rewrite bottom-up; with an oracle
     # permutation (sorted descending by value) two passes fully sort top.

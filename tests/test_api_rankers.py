@@ -82,6 +82,7 @@ def client(server, retry_sleep=0.01):
                          retry_sleep=retry_sleep, max_retries=5)
 
 
+@pytest.mark.quick
 def test_api_setwise(server):
     r = OpenAiSetwiseLlmRanker(client(server), num_child=3, k=4)
     out = r.rerank("q", make_ranking())

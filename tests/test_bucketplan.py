@@ -45,6 +45,7 @@ def test_bimodal_distribution_splits():
     assert got == (128, 1024)
 
 
+@pytest.mark.quick
 def test_single_bucket_and_ties_prefer_fewer():
     assert optimal_buckets([64] * 10, max_buckets=5, multiple=64) == (64,)
     # all lengths equal after rounding: extra rungs buy nothing

@@ -31,6 +31,7 @@ def make_fixture(tmp_path, n_queries=3, n_docs=12):
     return corpus, run, queries
 
 
+@pytest.mark.quick
 def test_trec_roundtrip(tmp_path):
     corpus, run, queries = make_fixture(tmp_path)
     groups = trec.read_run(str(run), hits=5)
@@ -46,6 +47,7 @@ def test_trec_roundtrip(tmp_path):
     assert trec.read_done_qids(str(out)) == {"q0", "q1", "q2"}
 
 
+@pytest.mark.quick
 def test_shard_split():
     items = list(range(10))
     shards = [trec.split_into_shards(items, 3, i) for i in range(3)]

@@ -6,6 +6,7 @@ import pytest
 from llmrankers_tpu.data import bright, evaluate
 
 
+@pytest.mark.quick
 def test_ndcg_known_values(tmp_path):
     qrels = {"q1": {"a": 3, "b": 2, "c": 0, "d": 1}}
     # Perfect ranking -> nDCG 1.

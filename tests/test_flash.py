@@ -49,6 +49,7 @@ def _compare(q, k, v, **kw):
     )
 
 
+@pytest.mark.quick
 def test_flash_plain():
     B, H, L, D = 2, 3, 128, 64
     _compare(_rand((B, H, L, D), 0), _rand((B, H, L, D), 1), _rand((B, H, L, D), 2),

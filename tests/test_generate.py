@@ -112,6 +112,7 @@ def test_chunked_decode_matches_single_scan():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.quick
 def test_engine_chunked_stop_string():
     """Engine-level chunked generation stops early on a stop string."""
     import jax

@@ -27,6 +27,7 @@ def test_choose_group():
     assert choose_group(192) == 0  # 192 = 64*3: no 128-multiple divisor
 
 
+@pytest.mark.quick
 def test_pack_unpack_roundtrip_error_bound():
     """unpack(pack(w)) is within one int4 quantization step of w, per
     (k-group, output-channel): |err| <= group_amax / 7 / 2 + eps."""

@@ -16,6 +16,7 @@ from llmrankers_tpu.ops.int8_matmul import (
 )
 
 
+@pytest.mark.quick
 def test_int8_matmul_exact_integer_math():
     """int8 x int8 -> int32 is exact; the f32 rescale is deterministic.
     M=200 exercises the pad-to-bm path (pad rows sliced off)."""

@@ -29,6 +29,7 @@ def tiny():
     return cfg, params
 
 
+@pytest.mark.quick
 def test_kv_quant_roundtrip_error():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, 3, 7, 32) * 3.0, jnp.float32)

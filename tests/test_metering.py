@@ -1,11 +1,13 @@
 """Meters + event log: the reference's printed averages (run.py:198-201)
 and the structured JSONL stream are a parity surface — pin the format."""
+import pytest
 import json
 
 from llmrankers_tpu.types import RerankStats
 from llmrankers_tpu.utils.metering import EventLog, MeterReport
 
 
+@pytest.mark.quick
 def test_meter_report_averages(capsys):
     rep = MeterReport()
     rep.add_query(RerankStats(comparisons=10, prompt_tokens=100,

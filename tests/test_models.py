@@ -147,6 +147,7 @@ def test_decoder_logits_parity(kind):
     np.testing.assert_allclose(got[valid], want[valid], rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.quick
 def test_qwen2_attention_bias_loaded():
     _, cfg, params = _hf_llama("qwen2")
     assert cfg.attention_bias

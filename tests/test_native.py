@@ -11,6 +11,7 @@ def built():
         pytest.skip("native library unavailable (no compiler?)")
 
 
+@pytest.mark.quick
 def test_pack_padded_matches_fallback():
     rows = [[1, 2, 3], [4], list(range(5, 45)), []]
     for left in (False, True):

@@ -19,6 +19,7 @@ from llmrankers_tpu.models import decoder as dec_mod
 from llmrankers_tpu.models.config import DecoderConfig
 
 
+@pytest.mark.quick
 def test_grouping_basic():
     pre_a = list(range(2, 102))            # 100-token prefix A
     pre_b = list(range(200, 300))          # 100-token prefix B

@@ -19,6 +19,7 @@ def tiny():
     return cfg, params
 
 
+@pytest.mark.quick
 def test_quantize_roundtrip_error(tiny):
     cfg, params = tiny
     qp = quant.quantize_decoder_params(params)

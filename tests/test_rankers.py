@@ -122,6 +122,7 @@ def test_setwise_oracle_topk(scoring, method):
     assert r.total_compare > 0 and r.total_prompt_tokens > 0
 
 
+@pytest.mark.quick
 def test_setwise_permutation_vote():
     eng = OracleEngine()
     r = SetwiseLlmRanker(eng, num_child=2, k=3, scoring="generation",

@@ -535,6 +535,7 @@ def _ref_r1_extract_and_vote(prompt, completions, perms, n_docs, rng):
         "<think>c</think><answer>[1]</answer>",   # perm [1,2,0] -> doc 1
     ], [[2, 0, 1], [0, 1, 2], [1, 2, 0]], 3, 2),
 ])
+@pytest.mark.quick
 def test_r1_extraction_vote_scripted_parity(completions, perms, n_docs, want):
     """Our _compare_batch's post-generation half must make the same
     decision as the reference port on crafted completions — including

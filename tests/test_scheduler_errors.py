@@ -1,6 +1,8 @@
 """WaveRunner failure semantics: errors propagate, no deadlocks."""
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from llmrankers_tpu.algos import WaveRunner, setwise_sort
 
 

@@ -35,6 +35,7 @@ def _post(base, payload):
         return resp.status, json.loads(resp.read())
 
 
+@pytest.mark.quick
 def test_rerank_endpoint(server):
     base, eng = server
     docs = [f"passage with relevance {v}" for v in VALUES[:12]]

@@ -25,6 +25,7 @@ from llmrankers_tpu.models import decoder as jdec
 from llmrankers_tpu.models.config import DecoderConfig
 
 
+@pytest.mark.quick
 def test_config_sliding_window_parse():
     base = dict(
         vocab_size=512, hidden_size=64, intermediate_size=128,

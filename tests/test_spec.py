@@ -30,6 +30,7 @@ def _engines(cfg, params, **spec_kw):
     return base, spec
 
 
+@pytest.mark.quick
 def test_spec_matches_plain_distinct_rows(tiny):
     cfg, params = tiny
     base, spec = _engines(cfg, params)

@@ -47,6 +47,7 @@ def test_lora_merge_noop_at_init(tiny_model):
                   np.asarray(params["layers"]["wq"])).max() > 0
 
 
+@pytest.mark.quick
 def test_completion_only_mask():
     resp = [9, 8]
     ids = np.asarray([
@@ -81,6 +82,7 @@ def test_sft_overfits_tiny_batch(tiny_model):
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+@pytest.mark.quick
 def test_reward_setwise_parity():
     comps = [
         "<think>reasoning</think>\n<answer>[3]</answer>",
