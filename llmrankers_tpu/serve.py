@@ -268,6 +268,10 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                         getattr(eng, "_jit_cache", ())
                     ),
                     "truncated_rows": getattr(eng, "truncated_rows", 0),
+                    "refill": dict(
+                        getattr(eng, "refill_stats", None)
+                        or {"sessions": 0, "refills": 0}
+                    ),
                 })
             else:
                 self._send(404, {"error": "not found"})

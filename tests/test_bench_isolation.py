@@ -69,6 +69,9 @@ def _impl(fail=()):
         rankr1_spec=lambda: (
             boom("spec") if "spec" in fail else {"speedup": 2.0}
         ),
+        rankr1_refill=lambda: (
+            boom("refill") if "refill" in fail else {"speedup": 1.5}
+        ),
     )
 
 
