@@ -889,6 +889,7 @@ class ScoringEngine:
         chunk_tokens: Optional[int] = None,
         stats: Optional[BatchStats] = None,
         adapter: Optional[str] = None,
+        row_adapters: Optional[Sequence[Optional[str]]] = None,
     ) -> Tuple[List[str], List[int]]:
         """Greedy generation; returns (decoded completions, per-row new
         token counts up to and including EOS).
@@ -898,7 +899,22 @@ class ScoringEngine:
         host stop-string check between chunks, so a 2048-token Rank-R1
         budget stops as soon as every row has emitted "</answer>"
         (SURVEY.md §7 hard part #3).
-        """
+
+        ``row_adapters`` assigns a registered LoRA adapter per row: one
+        dispatch serves N adapters via batched A·B mixing at constant
+        memory (vLLM multi-LoRA parity, setwise.py:491-498). Mutually
+        exclusive with ``adapter``; shared-prefix grouping is skipped
+        for mixed dispatches (the prefix K/V would depend on the
+        adapter)."""
+        mix = None
+        if row_adapters is not None:
+            if adapter is not None:
+                raise ValueError("pass adapter= or row_adapters=, not both")
+            setup = self._mix_setup(row_adapters, len(prompt_rows))
+            if setup[0] == "single":
+                adapter = setup[1]
+            else:
+                mix = setup[1:]
         pp = self._params_for(adapter)
         results: List[str] = [""] * len(prompt_rows)
         ntokens: List[int] = [0] * len(prompt_rows)
@@ -983,7 +999,7 @@ class ScoringEngine:
                 try:
                     toks_all = self._generate_refill(
                         pp, prompt_rows, max_new_tokens, stop_strings,
-                        chunk_tokens, row_limit,
+                        chunk_tokens, row_limit, mix=mix,
                     )
                     break
                 except Exception as e:
@@ -1005,6 +1021,10 @@ class ScoringEngine:
                 toks = self._generate_dispatch(
                     pp, chunk, max_new_tokens, prefix, stop_strings,
                     chunk_tokens, row_limit,
+                    mix_chunk=(
+                        (mix[0], mix[1][off : off + len(chunk)])
+                        if mix else None
+                    ),
                 )
             except Exception as e:  # catch-halve-retry on device OOM
                 if len(chunk) == 1 or not _is_oom(e):
@@ -1033,6 +1053,7 @@ class ScoringEngine:
         stop_strings: Sequence[str],
         chunk_tokens: Optional[int],
         row_limit: Optional[int],
+        mix_chunk=None,  # (names, idx np [len(chunk)]) multi-adapter rows
     ) -> np.ndarray:
         """One generate dispatch over ``chunk`` rows; returns the emitted
         token matrix [n, max_new_tokens]. Everything that can hit a
@@ -1047,7 +1068,10 @@ class ScoringEngine:
             max_new_tokens + 2 * (self.spec_lookup + 1)
             if spec else max_new_tokens
         )
-        grp = None if self.kind == "t5" else self._group(chunk, row_limit)
+        grp = (
+            None if (self.kind == "t5" or mix_chunk)
+            else self._group(chunk, row_limit)
+        )
         if self.kind == "t5":
             ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
             fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
@@ -1080,8 +1104,14 @@ class ScoringEngine:
                 )
             fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
             return np.asarray(fn(pp, *args))[:n]
+        if mix_chunk:
+            # Per-row multi-adapter rows: one aug-params pytree carries
+            # the adapter stack + row indices through prefill AND decode.
+            names, idx = mix_chunk
         if spec:
             ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+            if mix_chunk:
+                pp = self._aug_params(names, self._pad_idx(idx, B))
             prefill = self._get_jit("dec_prefill", ids.shape, mn_pad)
             tok, cache = prefill(pp, *self._put(ids, mask))
             L = ids.shape[1]
@@ -1095,6 +1125,8 @@ class ScoringEngine:
             )
         if chunked:
             ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+            if mix_chunk:
+                pp = self._aug_params(names, self._pad_idx(idx, B))
             prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
             tok, cache = prefill(pp, *self._put(ids, mask))
             return self._decode_chunked(
@@ -1102,14 +1134,19 @@ class ScoringEngine:
                 max_new_tokens, chunk_tokens, stop_strings,
             )
         ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
+        if mix_chunk:
+            pp = self._aug_params(names, self._pad_idx(idx, B))
         fn = self._get_jit("dec_gen", ids.shape, max_new_tokens)
         return np.asarray(fn(pp, *self._put(ids, mask)))[:n]
 
-    def _rr_prep(self, batch: List[List[int]], b_cap: int, P: int):
+    def _rr_prep(self, batch: List[List[int]], b_cap: int, P: int,
+                 plain: bool = False):
         """Pad a batch to the refill session's layout (prompt area exactly
         ``P`` positions): shared-prefix grouping when it pays and fits,
-        else plain left padding. Returns (kind, device args, n_real)."""
-        grp = self._group(batch, b_cap=b_cap, l_total=P)
+        else plain left padding (``plain`` forces it — mixed-adapter
+        sessions, where prefix K/V would depend on the adapter).
+        Returns (kind, device args, n_real)."""
+        grp = None if plain else self._group(batch, b_cap=b_cap, l_total=P)
         if grp is not None:
             n, args = grp
             return "shared", args, n
@@ -1124,6 +1161,7 @@ class ScoringEngine:
         stop_strings: Sequence[str],
         chunk_tokens: int,
         row_limit: int,
+        mix=None,  # (names, idx np [N]) per-row multi-adapter assignment
     ) -> np.ndarray:
         """Continuous-batching decode session over a multi-dispatch wave.
 
@@ -1179,7 +1217,9 @@ class ScoringEngine:
                 return h
             return np.asarray(args[0])
 
-        kind0, args0, n0 = self._rr_prep(first, row_limit, P)
+        kind0, args0, n0 = self._rr_prep(
+            first, row_limit, P, plain=mix is not None
+        )
         if kind0 == "shared":
             shapes = (args0[0].shape, args0[3].shape)
             fn = self._get_jit("dec_prefill_shared", shapes, mn_pad)
@@ -1187,6 +1227,11 @@ class ScoringEngine:
         else:
             fn = self._get_jit("dec_prefill", args0[0].shape, mn_pad)
             B = args0[0].shape[0]
+        slot_idx = None
+        if mix is not None:
+            names, idx_all = mix
+            slot_idx = self._pad_idx(idx_all[:n0], B)
+            pp = self._aug_params(names, slot_idx)
         tok, cache = fn(pp, *args0)
         pending = list(range(n0, N))
 
@@ -1294,7 +1339,9 @@ class ScoringEngine:
                 take, pending = pending[:k], pending[k:]
                 use, free = free[:k], free[k:]
                 batch = [rows[i] for i in take] + [[pad_tok]] * (Br - k)
-                kindr, argsr, _ = self._rr_prep(batch, Br, P)
+                kindr, argsr, _ = self._rr_prep(
+                    batch, Br, P, plain=mix is not None
+                )
                 slots_np = np.full((Br,), B, np.int32)  # B = OOB -> drop
                 slots_np[:k] = use
                 slots_d = jnp.asarray(slots_np)
@@ -1305,8 +1352,16 @@ class ScoringEngine:
                     )
                 else:
                     rfn = self._get_jit("rr_refill", argsr[0].shape)
+                pp_r = pp
+                if mix is not None:
+                    idx_b = self._pad_idx(
+                        np.asarray([idx_all[i] for i in take], np.int32), Br
+                    )
+                    pp_r = self._aug_params(names, idx_b)
+                    slot_idx[np.asarray(use, np.int32)] = idx_b[:k]
+                    pp = self._aug_params(names, slot_idx)
                 tok, cache, wp, done = rfn(
-                    pp, cache, tok, wp, done, *argsr, slots_d
+                    pp_r, cache, tok, wp, done, *argsr, slots_d
                 )
                 if spec:
                     hr = np.full((Br, P + mn_pad), pad_tok, np.int32)

@@ -32,6 +32,23 @@ class EngineRanker(LlmRanker):
         # deterministic; None disables caching.
         self._cache_key_fn: Optional[Callable[[Any], Any]] = None
         self._query_stats: List[RerankStats] = []
+        # Per-query adapter assignment for the current rerank_many call
+        # (multi-adapter wave mixing); set via the query_adapters arg.
+        self._query_adapters: Optional[List[Optional[str]]] = None
+
+    # Rankers whose _compare_batch threads per-row adapters into the
+    # engine (batched multi-adapter mixing) override this to True.
+    supports_query_adapters: bool = False
+
+    def _row_adapters_for(self, qidxs: Sequence[int]):
+        """Per-row adapter list for a wave (row i belongs to query
+        qidxs[i]), or None when this call has no per-query adapters.
+        getattr-tolerant: tests drive _compare_batch directly, without
+        a rerank_many call to set the attribute."""
+        qa = getattr(self, "_query_adapters", None)
+        if qa is None:
+            return None
+        return [qa[q] for q in qidxs]
 
     @staticmethod
     def _docid_cache_key(r: Any) -> Any:
@@ -53,10 +70,27 @@ class EngineRanker(LlmRanker):
         queries: Sequence[str],
         rankings: Sequence[List[SearchResult]],
         on_result: Optional[Callable[[int, List[SearchResult]], None]] = None,
+        query_adapters: Optional[Sequence[Optional[str]]] = None,
     ) -> List[List[SearchResult]]:
         """``on_result(i, reranked)`` fires as soon as query i's coroutine
         finishes — the driver streams results to disk at query granularity
-        (crash-safe resume, run_setwise.py:300-301 semantics)."""
+        (crash-safe resume, run_setwise.py:300-301 semantics).
+
+        ``query_adapters`` assigns a LoRA adapter PER QUERY; rankers that
+        support batched multi-adapter mixing (Rank-R1, the reference's
+        LoRA surface) then serve every query's comparisons in shared
+        device waves — one dispatch, N adapters (vLLM multi-LoRA parity,
+        setwise.py:491-498). Overrides ``self.adapter``."""
+        if query_adapters is not None and len(query_adapters) != len(queries):
+            raise ValueError("query_adapters must match queries")
+        if query_adapters is not None and not self.supports_query_adapters:
+            raise ValueError(
+                f"{type(self).__name__} does not support per-query "
+                "adapters; group queries by adapter instead"
+            )
+        self._query_adapters = (
+            list(query_adapters) if query_adapters is not None else None
+        )
         self._query_stats = [RerankStats() for _ in queries]
         runner = WaveRunner(self._compare_batch, self.max_wave_size,
                             cache_key=self._cache_key_fn)

@@ -31,6 +31,9 @@ from .setwise import _SetRequest
 
 class RankR1SetwiseLlmRanker(EngineRanker):
     CHARACTERS = [f"[{i + 1}]" for i in range(20)]
+    # Waves mix per-query LoRA adapters via engine row_adapters
+    # (batched multi-adapter serving — vLLM multi-LoRA parity).
+    supports_query_adapters = True
 
     def __init__(
         self,
@@ -125,6 +128,7 @@ class RankR1SetwiseLlmRanker(EngineRanker):
 
     def _compare_batch(self, requests: List[_SetRequest]) -> List[int]:
         rows: List[List[int]] = []
+        row_qidx: List[int] = []
         plans: List[List[Any]] = []
         for r in requests:
             self._query_stats[r.qidx].comparisons += (
@@ -145,12 +149,17 @@ class RankR1SetwiseLlmRanker(EngineRanker):
                 self._query_stats[r.qidx].prompt_tokens += len(ids)
                 plan.append((len(rows), perm))
                 rows.append(ids)
+                row_qidx.append(r.qidx)
             plans.append(plan)
 
         pattern = rf"{self.prompt['pattern']}"
+        row_adapters = self._row_adapters_for(row_qidx)
         texts, ntoks = self.engine.generate(
             rows, self.max_completion_tokens, stop_strings=("</answer>",),
-            adapter=self.adapter,
+            **(
+                {"row_adapters": row_adapters}
+                if row_adapters is not None else {"adapter": self.adapter}
+            ),
         )
 
         out: List[int] = []
@@ -189,6 +198,8 @@ class RankR1ListwiseLlmRanker(EngineRanker):
     window rewrite."""
 
     CHARACTERS = [f"[{i + 1}]" for i in range(20)]
+    # Waves mix per-query LoRA adapters via engine row_adapters.
+    supports_query_adapters = True
 
     def __init__(
         self,
@@ -248,6 +259,7 @@ class RankR1ListwiseLlmRanker(EngineRanker):
 
     def _compare_batch(self, requests: List[_SetRequest]) -> List[str]:
         rows: List[List[int]] = []
+        row_qidx: List[int] = []
         for r in requests:
             self._query_stats[r.qidx].comparisons += 1
             passages = "\n".join(
@@ -261,9 +273,16 @@ class RankR1ListwiseLlmRanker(EngineRanker):
             ids = self._encode_prompt(self.engine.tokenizer.apply_chat_template(messages))
             self._query_stats[r.qidx].prompt_tokens += len(ids)
             rows.append(ids)
+            row_qidx.append(r.qidx)
         pattern = rf"{self.prompt['pattern']}"
-        texts, ntoks = self.engine.generate(rows, self.max_completion_tokens,
-                                    adapter=self.adapter)
+        row_adapters = self._row_adapters_for(row_qidx)
+        texts, ntoks = self.engine.generate(
+            rows, self.max_completion_tokens,
+            **(
+                {"row_adapters": row_adapters}
+                if row_adapters is not None else {"adapter": self.adapter}
+            ),
+        )
         out = []
         for r, text, nt in zip(requests, texts, ntoks):
             self._query_stats[r.qidx].completion_tokens += nt

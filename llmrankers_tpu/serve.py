@@ -75,6 +75,7 @@ class RerankService:
         self.served = 0
         self.rejected = 0  # 429s (queue full)
         self.cancelled_skipped = 0  # jobs dropped before device dispatch
+        self.mixed_waves = 0  # multi-adapter windows served as one wave set
         self._stats_lock = threading.Lock()
         # Per-adapter ranker clones for concurrent group dispatch
         # (see _ranker_for).
@@ -142,14 +143,23 @@ class RerankService:
             groups: Dict[Optional[str], List[_Job]] = {}
             for j in jobs:
                 groups.setdefault(j.adapter, []).append(j)
-            # Concurrent group dispatch: each adapter group runs on its
-            # own thread with a per-adapter ranker clone (same engine —
-            # scoring/merge paths are lock-guarded), so one group's host
-            # work (tokenize/pack/parse) overlaps another's device
-            # compute, like the CLI's cohort pipeline. Only when the
-            # engine can keep every group's merged weights resident —
-            # otherwise concurrent merges would thrash the adapter LRU
-            # and serialize anyway, so run sequentially.
+            # Batched multi-adapter mixing (S-LoRA style): when the
+            # ranker/engine support it, ALL adapter groups run as ONE
+            # set of shared device waves — per-row A·B mixing at
+            # constant memory, no merged-weight clones, no LRU thrash
+            # regardless of how many adapters the window touches
+            # (vLLM multi-LoRA serving, reference setwise.py:491-498).
+            if len(groups) > 1 and self._can_mix():
+                self._run_mixed(jobs)
+                continue
+            # Fallback — concurrent group dispatch: each adapter group
+            # runs on its own thread with a per-adapter ranker clone
+            # (same engine — scoring/merge paths are lock-guarded), so
+            # one group's host work (tokenize/pack/parse) overlaps
+            # another's device compute, like the CLI's cohort pipeline.
+            # Only when the engine can keep every group's merged weights
+            # resident — otherwise concurrent merges would thrash the
+            # adapter LRU and serialize anyway, so run sequentially.
             cache_cap = getattr(
                 getattr(self.ranker, "engine", None),
                 "_max_cached_adapters", 1,
@@ -168,6 +178,59 @@ class RerankService:
             else:
                 for adapter, grp in groups.items():
                     self._run_group(adapter, grp)
+
+    def _can_mix(self) -> bool:
+        """True when a multi-adapter window can run as one mixed wave
+        set: the ranker threads per-query adapters into the engine and
+        the engine's weights allow batched A·B mixing (decoder-only,
+        unquantized — ScoringEngine._mix_setup's rules)."""
+        r = self.ranker
+        eng = getattr(r, "engine", None)
+        if eng is None or not getattr(r, "supports_query_adapters", False):
+            return False
+        if getattr(eng, "kind", None) != "decoder":
+            return False
+        from .models import quant as quant_mod
+
+        return not quant_mod.is_quantized(eng.params)
+
+    def _run_mixed(self, jobs: List["_Job"]) -> None:
+        """One rerank_many over every adapter's jobs, mixed per query."""
+        fresh = []
+        for j in jobs:
+            if j.cancelled:
+                with self._stats_lock:
+                    self.cancelled_skipped += 1
+                j.done.set()
+            else:
+                fresh.append(j)
+        jobs = fresh
+        if not jobs:
+            return
+        try:
+            results = self.ranker.rerank_many(
+                [j.query for j in jobs], [j.ranking for j in jobs],
+                query_adapters=[j.adapter for j in jobs],
+            )
+            per_query = getattr(self.ranker, "per_query_stats", None)
+            for i, (job, res) in enumerate(zip(jobs, results)):
+                job.result = res
+                if per_query is not None:
+                    s = per_query[i]
+                    job.stats = {
+                        "comparisons": s.comparisons,
+                        "prompt_tokens": s.prompt_tokens,
+                        "completion_tokens": s.completion_tokens,
+                    }
+            with self._stats_lock:
+                self.served += len(jobs)
+                self.mixed_waves += 1
+        except Exception as e:  # surface per-job
+            for job in jobs:
+                job.error = f"{type(e).__name__}: {e}"
+        finally:
+            for job in jobs:
+                job.done.set()
 
     def _ranker_for(self, adapter: Optional[str]):
         """Per-adapter ranker clone (lazy): shares the engine, owns its
@@ -272,6 +335,7 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                         getattr(eng, "refill_stats", None)
                         or {"sessions": 0, "refills": 0}
                     ),
+                    "mixed_adapter_waves": service.mixed_waves,
                 })
             else:
                 self._send(404, {"error": "not found"})
