@@ -173,6 +173,22 @@ class ScoringEngine:
             if kv_quantize == "int4" and cfg.head_dim_ % 2:
                 raise ValueError("int4 KV cache needs an even head_dim")
             cfg = dataclasses.replace(cfg, kv_quant=kv_quantize)
+            # Fused decode attention over the packed cache
+            # (ops/kvq_attention.py) — OPT-IN, not default: measured
+            # on-chip this round, the kernel wins standalone (int8
+            # 1030 vs 1595us, int4 717 vs 841us at 3B decode shapes)
+            # but LOSES inside the full jitted decode loop (0.54x /
+            # 0.61x of the XLA path) — the (KV, B) grid's many small
+            # programs can't amortize against XLA's fused dots. Kept
+            # behind an env flag for re-evaluation on multi-chip or
+            # future Mosaic versions; see docs/ARCHITECTURE.md.
+            _1chip = mesh is None or mesh.devices.size == 1
+            if (
+                _1chip
+                and jax.default_backend() == "tpu"
+                and os.environ.get("LLMRANKERS_KVQ_KERNEL") == "1"
+            ):
+                cfg = dataclasses.replace(cfg, kvq_kernel=True)
         if spec_lookup and kind != "decoder":
             raise ValueError("spec_lookup targets decoder generation")
         self.spec_lookup = int(spec_lookup)

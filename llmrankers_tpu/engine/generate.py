@@ -586,26 +586,38 @@ def _decode_token_forward(params, cfg: DecoderConfig, tok, kc, vc, amask,
         # to HBM every step).
         G = H // KV
         qg = q.reshape(B, KV, G, Dh)
-        # Quantized cache: dequant folds into the dots — the k scale
-        # (per output column t) applies AFTER the q.k dot, the v
-        # scale (per contracted t) folds into p. Only quantized
-        # bytes cross HBM (_cached_qk/_cached_pv dispatch on mode).
-        s = _cached_qk(qg, kcl, dtype, cfg.kv_quant, "bkgd,bktd->bkgt")
-        s = s * (Dh**-0.5)
-        s = jnp.where(amask[:, None, None, :], s, NEG_INF)
-        # Current token's self-attention as an online-softmax term
-        # (its k/v are not in the cache yet).
-        s_self = jnp.einsum(
-            "bkgd,bkd->bkg", qg, k, preferred_element_type=jnp.float32
-        ) * (Dh**-0.5)
-        m = jnp.maximum(jnp.max(s, axis=-1), s_self)  # [B, KV, G]
-        p = jnp.exp(s - m[..., None])
-        p_self = jnp.exp(s_self - m)
-        z = p.sum(axis=-1) + p_self
-        a = (
-            _cached_pv(p, vcl, dtype, cfg.kv_quant, "bkgt,bktd->bkgd")
-            + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
-        ) / z[..., None]
+        if cfg.kvq_kernel and cfg.kv_quant:
+            # Fused Pallas pass over the packed cache: each tile is
+            # DMA'd once and (for int4) both nibble-plane dots run
+            # from VMEM — the decode stream matches the cache
+            # footprint instead of doubling (ops/kvq_attention.py).
+            from ..ops.kvq_attention import kvq_decode_attention
+
+            a = kvq_decode_attention(
+                qg, kcl, vcl, k, v, amask, Dh**-0.5, cfg.kv_quant,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            # Quantized cache: dequant folds into the dots — the k scale
+            # (per output column t) applies AFTER the q.k dot, the v
+            # scale (per contracted t) folds into p. Only quantized
+            # bytes cross HBM (_cached_qk/_cached_pv dispatch on mode).
+            s = _cached_qk(qg, kcl, dtype, cfg.kv_quant, "bkgd,bktd->bkgt")
+            s = s * (Dh**-0.5)
+            s = jnp.where(amask[:, None, None, :], s, NEG_INF)
+            # Current token's self-attention as an online-softmax term
+            # (its k/v are not in the cache yet).
+            s_self = jnp.einsum(
+                "bkgd,bkd->bkg", qg, k, preferred_element_type=jnp.float32
+            ) * (Dh**-0.5)
+            m = jnp.maximum(jnp.max(s, axis=-1), s_self)  # [B, KV, G]
+            p = jnp.exp(s - m[..., None])
+            p_self = jnp.exp(s_self - m)
+            z = p.sum(axis=-1) + p_self
+            a = (
+                _cached_pv(p, vcl, dtype, cfg.kv_quant, "bkgt,bktd->bkgd")
+                + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
+            ) / z[..., None]
         h = h + qmm(lp, "wo", a.astype(dtype).reshape(B, H * Dh),
                     cfg.qkernels)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)

@@ -146,6 +146,13 @@ class DecoderConfig:
     # quantize='int8'); decode's small-M steps stay on the fused
     # w8a16 dequant. See ops/int8_matmul.py and quant.qmm.
     int8_kernel: bool = False
+    # Route the one-token decode step's attention against a QUANTIZED
+    # KV cache through the fused Pallas kernel (opt-in via
+    # LLMRANKERS_KVQ_KERNEL=1 on single-device TPU): one pass over the
+    # packed cache instead of XLA's separate qk/pv reads. Measured
+    # slower than the XLA path inside the full decode loop this round
+    # (engine.py gate comment has the numbers), so off by default.
+    kvq_kernel: bool = False
 
     @property
     def qkernels(self) -> bool:
