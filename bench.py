@@ -380,18 +380,22 @@ def rankr1_refill(batch=48, rows_per_dispatch=16, n_prefix=800,
     freed slots from pending rows at chunk boundaries (vLLM's serving
     loop, reference setwise.py:450-454; VERDICT r3 #4).
 
-    Completion-length variance is induced honestly: a 512-vocab variant
-    of the Qwen2.5-3B shape (per-layer compute unchanged; at the real
-    152k vocab, random-weight greedy essentially never emits a stop) with
-    4 single-char host stop strings — ~0.8%/step stop hazard, mean ~128
-    of the 256-token budget, heavy geometric tail. rows_per_dispatch is
-    pinned so the A/B isolates the refill mechanism from the memory
-    estimator. Outputs are token-exact between the two paths given exact
-    arithmetic (tests/test_refill.py, CPU); on TPU, bf16 near-tie argmax
-    flips from batch-shape-dependent tiling can make the random-weight
-    walks diverge slightly, so the row RECORDS both gen-token totals
-    rather than asserting equality — wall-clock per generated token is
-    the measurement either way."""
+    Completion-length variance is induced honestly with TEMPERATURE
+    SAMPLING (the engine's vLLM-SamplingParams equivalent) on a
+    512-vocab variant of the Qwen2.5-3B shape (per-layer compute
+    unchanged): at temperature 3 the draws are near-uniform over the
+    byte vocab, so 4 single-char host stop strings + the device EOS give
+    a ~1%/step finish hazard — geometric completion lengths with mean
+    near half the 256-token budget and a heavy tail. (Greedy was tried
+    first and measured useless here: random-weight argmax walks converge
+    to an attractor cycle that avoids every stop byte, so ALL rows ran
+    the full budget and the A/B degenerated to refill's worst case —
+    recorded as speedup 0.9 in the 2026-08-19 validation run.)
+    rows_per_dispatch is pinned so the A/B isolates the refill mechanism
+    from the memory estimator. The two arms draw different sample walks
+    (the refill session legitimately re-keys streams), so the row
+    RECORDS both gen-token totals and normalizes wall per generated
+    token — both arms face the same hazard distribution over 48 rows."""
     import dataclasses
 
     import jax
@@ -429,10 +433,12 @@ def rankr1_refill(batch=48, rows_per_dispatch=16, n_prefix=800,
             )
             eng._gen_row_limit = lambda r, m: rows_per_dispatch
             eng.generate(rows, max_new_tokens=new_tokens, chunk_tokens=64,
-                         stop_strings=stops)  # compile warm-up
+                         stop_strings=stops, temperature=3.0,
+                         seed=929)  # compile warm-up
             t0 = time.perf_counter()
             _, ntoks = eng.generate(rows, max_new_tokens=new_tokens,
-                                    chunk_tokens=64, stop_strings=stops)
+                                    chunk_tokens=64, stop_strings=stops,
+                                    temperature=3.0, seed=929)
             out[f"{label}_wall_s"] = round(time.perf_counter() - t0, 2)
             out[f"{label}_gen_tokens"] = sum(ntoks)
             if label == "refill":
@@ -589,6 +595,27 @@ def _ok(d) -> bool:
     return isinstance(d, dict) and "error" not in d
 
 
+def _default_impl():
+    """The real section functions, as the ``impl`` namespace run_bench
+    uses by default. Every attribute run_bench references (directly or
+    by name string) must exist here — pinned by
+    tests/test_bench_isolation.py::test_default_impl_complete after the
+    round-4 near-miss where a section added to run_bench but not to
+    this namespace aborted the whole record with an AttributeError."""
+    import types
+
+    return types.SimpleNamespace(
+        flash_parity_on_device=flash_parity_on_device,
+        t5_throughput=t5_throughput,
+        t5_int8_decision_parity=t5_int8_decision_parity,
+        t5_latency=t5_latency,
+        t5_generation=t5_generation,
+        rankr1_decode=rankr1_decode,
+        rankr1_spec=rankr1_spec,
+        rankr1_refill=rankr1_refill,
+    )
+
+
 def run_bench(sections, impl=None):
     """Run the requested sections, crash-isolated, and build the one-line
     record. Ordering puts the HEADLINE sections (xl, xl_int8) first and
@@ -600,26 +627,23 @@ def run_bench(sections, impl=None):
     headline, which was ordered last).
 
     ``impl`` overrides the section functions (fault-injection tests)."""
-    import types
-
     from llmrankers_tpu.models.config import T5Config
 
     if impl is None:
-        impl = types.SimpleNamespace(
-            flash_parity_on_device=flash_parity_on_device,
-            t5_throughput=t5_throughput,
-            t5_int8_decision_parity=t5_int8_decision_parity,
-            t5_latency=t5_latency,
-            t5_generation=t5_generation,
-            rankr1_decode=rankr1_decode,
-            rankr1_spec=rankr1_spec,
-        )
+        impl = _default_impl()
     detail = {}
     errors = []
 
     def run(name, fn):
+        # ``fn`` may be a callable OR an attribute name on ``impl`` —
+        # the string form defers the attribute lookup INTO the
+        # try/except, so a missing section impl records an error entry
+        # instead of aborting the whole record (the exact failure the
+        # isolation exists for; a bare ``impl.missing_attr`` argument
+        # expression would raise before run() was even entered).
         try:
-            detail[name] = fn()
+            detail[name] = (getattr(impl, fn) if isinstance(fn, str)
+                            else fn)()
         except Exception as e:  # isolate: record and keep benching
             detail[name] = {"error": f"{type(e).__name__}: {e}"[:2000]}
             errors.append(name)
@@ -629,7 +653,7 @@ def run_bench(sections, impl=None):
         # Numerics gate for the t5 sections: a parity failure is recorded
         # (and disqualifies nothing by itself — the judge sees it), but
         # no longer aborts the whole record.
-        run("flash_parity", impl.flash_parity_on_device)
+        run("flash_parity", "flash_parity_on_device")
 
     # --- headline first -------------------------------------------------
     xl = None
@@ -675,7 +699,7 @@ def run_bench(sections, impl=None):
     if "gen" in sections:
         run("gen_large", lambda: impl.t5_generation(T5Config.flan_t5_large()))
     if "rankr1" in sections:
-        run("rankr1", impl.rankr1_decode)
+        run("rankr1", "rankr1_decode")
         run("rankr1_int8", lambda: impl.rankr1_decode(quantize="int8"))
         # int8 weights + int8 KV: the full-quantized serving config. KV
         # gains grow with batch (the cache stream scales with B; weights
@@ -694,10 +718,10 @@ def run_bench(sections, impl=None):
         run("rankr1_int4_kv4_b32", lambda: impl.rankr1_decode(
             batch=32, quantize="int4", kv_quantize="int4"
         ))
-        run("rankr1_spec", impl.rankr1_spec)
+        run("rankr1_spec", "rankr1_spec")
         # Continuous batching: frozen-row vs slot-refill A/B on a
         # multi-dispatch wave with geometric completion lengths.
-        run("rankr1_refill", impl.rankr1_refill)
+        run("rankr1_refill", "rankr1_refill")
 
     # --- assemble the one-line record -------------------------------------
     head = xl if _ok(xl) else (

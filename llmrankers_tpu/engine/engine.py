@@ -279,7 +279,15 @@ class ScoringEngine:
         # S-LoRA-style batched mixing: stacked (A, B) pytrees per adapter
         # name-set, shared by every row of a mixed dispatch (constant
         # memory in the number of adapters — no merged full-model copies).
-        self._mix_cache: Dict[Tuple[str, ...], Any] = {}
+        # LRU-bounded: distinct name-SETS can otherwise accumulate up to
+        # 2^A stacks in a long-lived serve process (each ~N adapters'
+        # A/B weights, device-resident). Eviction drops the reference
+        # only — in-flight dispatches keep theirs alive, same discipline
+        # as _adapter_params.
+        self._mix_cache: "collections.OrderedDict[Tuple[str, ...], Any]" = (
+            collections.OrderedDict()
+        )
+        self._max_mix_stacks = max(4, int(max_cached_adapters))
         self._adapter_lock = threading.Lock()
         self._adapter_merging: Dict[str, Any] = {}  # name -> threading.Event
         self._max_cached_adapters = max(1, int(max_cached_adapters))
@@ -321,10 +329,12 @@ class ScoringEngine:
             raise ValueError("lcfg required when passing an adapter pytree")
         self._adapters[name] = (adapter, lcfg)
         self._adapter_params.pop(name, None)
+        import collections
+
         with self._adapter_lock:
-            self._mix_cache = {
-                k: v for k, v in self._mix_cache.items() if name not in k
-            }
+            self._mix_cache = collections.OrderedDict(
+                (k, v) for k, v in self._mix_cache.items() if name not in k
+            )
 
     def _params_for(self, adapter: Optional[str]):
         if adapter is None:
@@ -422,6 +432,28 @@ class ScoringEngine:
         )
         return ("mixed", tuple(names), idx)
 
+    def _resolve_adapters(
+        self,
+        adapter: Optional[str],
+        row_adapters: Optional[Sequence[Optional[str]]],
+        n_rows: int,
+    ):
+        """Shared entry-point reduction for score_labels/generate:
+        returns ``(params, mix)`` where ``mix`` is None (single
+        or base adapter — merged-weights path) or ``(names, idx)`` for
+        batched per-row mixing. Enforces adapter=/row_adapters= mutual
+        exclusion in ONE place so the two entry points can't diverge."""
+        mix = None
+        if row_adapters is not None:
+            if adapter is not None:
+                raise ValueError("pass adapter= or row_adapters=, not both")
+            setup = self._mix_setup(row_adapters, n_rows)
+            if setup[0] == "single":
+                adapter = setup[1]
+            else:
+                mix = setup[1:]
+        return self._params_for(adapter), mix
+
     def _stack_adapters(self, names: Tuple[str, ...]):
         """Stacked multi-adapter pytree for the qmm mixing seam
         (models/quant.py::_lora_mix): per target,
@@ -433,6 +465,8 @@ class ScoringEngine:
         N * (a merged model copy)."""
         with self._adapter_lock:
             cached = self._mix_cache.get(names)
+            if cached is not None:
+                self._mix_cache.move_to_end(names)
         if cached is not None:
             return cached
         entries = []
@@ -482,6 +516,8 @@ class ScoringEngine:
             }
         stacked = jax.device_put(stacked, self._repl)
         with self._adapter_lock:
+            while len(self._mix_cache) >= self._max_mix_stacks:
+                self._mix_cache.popitem(last=False)
             self._mix_cache[names] = stacked
         return stacked
 
@@ -802,16 +838,9 @@ class ScoringEngine:
         memory (vLLM multi-LoRA parity, setwise.py:491-498). Mutually
         exclusive with ``adapter``; shared-prefix grouping is skipped for
         mixed dispatches (prefix K/V would depend on the adapter)."""
-        mix = None
-        if row_adapters is not None:
-            if adapter is not None:
-                raise ValueError("pass adapter= or row_adapters=, not both")
-            setup = self._mix_setup(row_adapters, len(prompt_rows))
-            if setup[0] == "single":
-                adapter = setup[1]
-            else:
-                mix = setup[1:]
-        pp = self._params_for(adapter)
+        pp, mix = self._resolve_adapters(
+            adapter, row_adapters, len(prompt_rows)
+        )
         out = np.zeros((len(prompt_rows), len(label_ids)), np.float32)
         labels = tuple(int(x) for x in label_ids)
         prefix = tuple(int(x) for x in decoder_prefix)
@@ -906,9 +935,19 @@ class ScoringEngine:
         stats: Optional[BatchStats] = None,
         adapter: Optional[str] = None,
         row_adapters: Optional[Sequence[Optional[str]]] = None,
+        temperature: float = 0.0,
+        seed: Optional[int] = None,
     ) -> Tuple[List[str], List[int]]:
         """Greedy generation; returns (decoded completions, per-row new
         token counts up to and including EOS).
+
+        ``temperature > 0`` samples each token categorically from
+        logits/temperature instead of argmax (vLLM SamplingParams
+        equivalent; decoder models only, incompatible with spec_lookup
+        whose acceptance rule is greedy). ``seed`` fixes the sample
+        stream: the same (rows, temperature, seed, chunking) call is
+        reproducible; different dispatch partitioning (row_limit, refill
+        engagement) legitimately re-keys the stream.
 
         ``stop_strings`` truncate the decoded host-side text; long
         decoder-only generations run in chunks of ``chunk_tokens`` with a
@@ -922,16 +961,25 @@ class ScoringEngine:
         exclusive with ``adapter``; shared-prefix grouping is skipped
         for mixed dispatches (the prefix K/V would depend on the
         adapter)."""
-        mix = None
-        if row_adapters is not None:
-            if adapter is not None:
-                raise ValueError("pass adapter= or row_adapters=, not both")
-            setup = self._mix_setup(row_adapters, len(prompt_rows))
-            if setup[0] == "single":
-                adapter = setup[1]
-            else:
-                mix = setup[1:]
-        pp = self._params_for(adapter)
+        pp, mix = self._resolve_adapters(
+            adapter, row_adapters, len(prompt_rows)
+        )
+        sampling = None
+        if temperature and temperature > 0.0:
+            if self.kind != "decoder":
+                raise ValueError(
+                    "temperature sampling targets decoder generation "
+                    "(T5 generate serves 2-token label scoring — greedy)"
+                )
+            if self.spec_lookup:
+                raise ValueError(
+                    "temperature sampling is incompatible with "
+                    "spec_lookup (speculative acceptance is greedy)"
+                )
+            sampling = (
+                float(temperature),
+                jax.random.PRNGKey(0 if seed is None else int(seed)),
+            )
         results: List[str] = [""] * len(prompt_rows)
         ntokens: List[int] = [0] * len(prompt_rows)
         prefix = tuple(int(x) for x in decoder_prefix)
@@ -941,6 +989,10 @@ class ScoringEngine:
             prefix = (int(self.cfg.decoder_start_token_id),)
         if chunk_tokens is None and max_new_tokens >= 512 and self.kind != "t5":
             chunk_tokens = 256
+        if sampling is not None and chunk_tokens is None:
+            # Sampling rides the chunked decode loop (the only paths
+            # carrying an rng); one full-budget chunk when unchunked.
+            chunk_tokens = max_new_tokens
         if not prompt_rows:
             return results, ntokens
         row_limit = self._gen_row_limit(prompt_rows, max_new_tokens)
@@ -1016,6 +1068,7 @@ class ScoringEngine:
                     toks_all = self._generate_refill(
                         pp, prompt_rows, max_new_tokens, stop_strings,
                         chunk_tokens, row_limit, mix=mix,
+                        sampling=sampling,
                     )
                     break
                 except Exception as e:
@@ -1040,6 +1093,12 @@ class ScoringEngine:
                     mix_chunk=(
                         (mix[0], mix[1][off : off + len(chunk)])
                         if mix else None
+                    ),
+                    # Distinct sample stream per dispatch chunk (keyed by
+                    # its row offset in the wave).
+                    sampling=(
+                        (sampling[0], jax.random.fold_in(sampling[1], off))
+                        if sampling else None
                     ),
                 )
             except Exception as e:  # catch-halve-retry on device OOM
@@ -1070,12 +1129,15 @@ class ScoringEngine:
         chunk_tokens: Optional[int],
         row_limit: Optional[int],
         mix_chunk=None,  # (names, idx np [len(chunk)]) multi-adapter rows
+        sampling=None,  # (temperature, rng) — forces the chunked route
     ) -> np.ndarray:
         """One generate dispatch over ``chunk`` rows; returns the emitted
         token matrix [n, max_new_tokens]. Everything that can hit a
         device RESOURCE_EXHAUSTED lives here (prefill + decode + fetch),
         so generate()'s backoff loop can retry the whole chunk smaller."""
-        chunked = bool(chunk_tokens) and chunk_tokens < max_new_tokens
+        chunked = (
+            bool(chunk_tokens) and chunk_tokens < max_new_tokens
+        ) or sampling is not None
         spec = self.spec_lookup > 0 and self.kind == "decoder"
         # Speculation pads the cache so a budget-crossing verify block
         # (and the harmless frozen-row block writes after it) stay in
@@ -1112,11 +1174,24 @@ class ScoringEngine:
                     max_new_tokens, chunk_tokens or 256, stop_strings,
                 )
             if chunked:
-                fn = self._get_jit("dec_prefill_shared", shapes, max_new_tokens)
-                tok, cache = fn(pp, *args)
+                if sampling is not None:
+                    k_pref, k_dec = jax.random.split(sampling[1])
+                    fn = self._get_jit(
+                        "dec_prefill_shared", shapes, max_new_tokens,
+                        ("s", sampling[0]),
+                    )
+                    tok, cache = fn(pp, *args, k_pref)
+                    samp = (sampling[0], k_dec)
+                else:
+                    fn = self._get_jit(
+                        "dec_prefill_shared", shapes, max_new_tokens
+                    )
+                    tok, cache = fn(pp, *args)
+                    samp = None
                 return self._decode_chunked(
                     pp, tok, cache, B, prompt_len, n,
                     max_new_tokens, chunk_tokens, stop_strings,
+                    sampling=samp,
                 )
             fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
             return np.asarray(fn(pp, *args))[:n]
@@ -1143,11 +1218,24 @@ class ScoringEngine:
             ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
             if mix_chunk:
                 pp = self._aug_params(names, self._pad_idx(idx, B))
-            prefill = self._get_jit("dec_prefill", ids.shape, max_new_tokens)
-            tok, cache = prefill(pp, *self._put(ids, mask))
+            if sampling is not None:
+                k_pref, k_dec = jax.random.split(sampling[1])
+                prefill = self._get_jit(
+                    "dec_prefill", ids.shape, max_new_tokens,
+                    ("s", sampling[0]),
+                )
+                tok, cache = prefill(pp, *self._put(ids, mask), k_pref)
+                samp = (sampling[0], k_dec)
+            else:
+                prefill = self._get_jit(
+                    "dec_prefill", ids.shape, max_new_tokens
+                )
+                tok, cache = prefill(pp, *self._put(ids, mask))
+                samp = None
             return self._decode_chunked(
                 pp, tok, cache, B, ids.shape[1], n,
                 max_new_tokens, chunk_tokens, stop_strings,
+                sampling=samp,
             )
         ids, mask, n, B = self._pad_batch_left(chunk, b_cap=row_limit)
         if mix_chunk:
@@ -1178,6 +1266,7 @@ class ScoringEngine:
         chunk_tokens: int,
         row_limit: int,
         mix=None,  # (names, idx np [N]) per-row multi-adapter assignment
+        sampling=None,  # (temperature, rng) categorical sampling
     ) -> np.ndarray:
         """Continuous-batching decode session over a multi-dispatch wave.
 
@@ -1197,6 +1286,20 @@ class ScoringEngine:
         (P+max_new)-padded batch cache), inside _gen_row_limit's 30%
         headroom; the caller's RESOURCE_EXHAUSTED backoff remains the
         hard guarantee.
+
+        Known trade: this loop synchronizes (device_get) at every chunk
+        boundary — the refill decision needs the finished-slot set — so
+        it gives up the dispatch pipelining of _decode_chunked (~28% of
+        wall at chunk=64 on the tunneled TPU; a few % at the >=512-budget
+        auto-chunk of 256 this path actually runs at). Pre-dispatching
+        the next chunk was evaluated and rejected: it would waste one
+        full frozen-row chunk of device compute per session whenever the
+        last live rows finish inside the pre-dispatched chunk (the
+        common case for EOS-variant Rank-R1 decodes — the very workload
+        refill serves), which costs more than the host syncs it hides.
+        Workloads where rows rarely finish early (uniform full-budget
+        decodes) should set LLMRANKERS_NO_REFILL=1 and keep the
+        pipelined frozen-row path.
 
         Determinism: given exact arithmetic the outputs are token-exact
         vs the per-chunk path (pinned on CPU, tests/test_refill.py). On
@@ -1236,19 +1339,32 @@ class ScoringEngine:
         kind0, args0, n0 = self._rr_prep(
             first, row_limit, P, plain=mix is not None
         )
+        # Sampling streams: prefill first-tokens, decode steps (folded by
+        # the session-global step inside the chunk fn), refill batches.
+        skey = ("s", sampling[0]) if sampling else None
+        if sampling:
+            k_pref, k_dec, k_ref = jax.random.split(sampling[1], 3)
         if kind0 == "shared":
             shapes = (args0[0].shape, args0[3].shape)
-            fn = self._get_jit("dec_prefill_shared", shapes, mn_pad)
+            fn = self._get_jit(
+                "dec_prefill_shared", shapes, mn_pad, *(
+                    (skey,) if skey else ()
+                )
+            )
             B = args0[3].shape[0]
         else:
-            fn = self._get_jit("dec_prefill", args0[0].shape, mn_pad)
+            fn = self._get_jit(
+                "dec_prefill", args0[0].shape, mn_pad, *(
+                    (skey,) if skey else ()
+                )
+            )
             B = args0[0].shape[0]
         slot_idx = None
         if mix is not None:
             names, idx_all = mix
             slot_idx = self._pad_idx(idx_all[:n0], B)
             pp = self._aug_params(names, slot_idx)
-        tok, cache = fn(pp, *args0)
+        tok, cache = fn(pp, *args0, *((k_pref,) if sampling else ()))
         pending = list(range(n0, N))
 
         dp = mesh_mod.batch_divisor(self.mesh)
@@ -1271,7 +1387,8 @@ class ScoringEngine:
             hist_d = jax.device_put(jnp.asarray(h0), self._data_sharding)
         else:
             chunk_fn = self._get_jit(
-                "dec_chunk_rr", B, P, chunk_tokens, max_new
+                "dec_chunk_rr", B, P, chunk_tokens, max_new,
+                *((skey,) if skey else ()),
             )
         out_mat = np.full((N, max_new), int(self.cfg.pad_token_id), np.int32)
         acc: List[List[int]] = [[] for _ in range(B)]
@@ -1281,7 +1398,9 @@ class ScoringEngine:
         live = n0
         refills = 0
         spec_tokens = spec_rounds = 0
+        chunk_no = 0
         while True:
+            chunk_no += 1
             if spec:
                 outs, counts, (tok, cache, hist_d, wp, done) = chunk_fn(
                     pp, tok, cache, hist_d, wp, done
@@ -1290,7 +1409,15 @@ class ScoringEngine:
                     (outs, counts, done, wp)
                 )
             else:
-                out, tok, cache, wp, done = chunk_fn(pp, tok, cache, wp, done)
+                if sampling:
+                    out, tok, cache, wp, done = chunk_fn(
+                        pp, tok, cache, wp, done, k_dec,
+                        jnp.int32(chunk_no * chunk_tokens),
+                    )
+                else:
+                    out, tok, cache, wp, done = chunk_fn(
+                        pp, tok, cache, wp, done
+                    )
                 out_h, done_dev, wp_h = jax.device_get((out, done, wp))
             done_np = np.asarray(done_dev).copy()
             host_froze = False
@@ -1365,9 +1492,13 @@ class ScoringEngine:
                     rfn = self._get_jit(
                         "rr_refill_shared",
                         (argsr[0].shape, argsr[3].shape),
+                        *((skey,) if skey else ()),
                     )
                 else:
-                    rfn = self._get_jit("rr_refill", argsr[0].shape)
+                    rfn = self._get_jit(
+                        "rr_refill", argsr[0].shape,
+                        *((skey,) if skey else ()),
+                    )
                 pp_r = pp
                 if mix is not None:
                     idx_b = self._pad_idx(
@@ -1377,7 +1508,9 @@ class ScoringEngine:
                     slot_idx[np.asarray(use, np.int32)] = idx_b[:k]
                     pp = self._aug_params(names, slot_idx)
                 tok, cache, wp, done = rfn(
-                    pp_r, cache, tok, wp, done, *argsr, slots_d
+                    pp_r, cache, tok, wp, done, *argsr, slots_d,
+                    *((jax.random.fold_in(k_ref, refills),)
+                      if sampling else ()),
                 )
                 if spec:
                     hr = np.full((Br, P + mn_pad), pad_tok, np.int32)
@@ -1411,6 +1544,8 @@ class ScoringEngine:
         max_new_tokens: int,
         chunk_tokens: int,
         stop_strings: Sequence[str],
+        sampling=None,  # (temperature, rng); rng constant across chunks —
+        #                 the chunk fn folds it by the GLOBAL step t
     ) -> np.ndarray:
         """Decode from a prefilled cache in fixed-size chunks; between
         chunks the host decodes each live row and freezes rows whose text
@@ -1424,7 +1559,15 @@ class ScoringEngine:
         compute. Outputs are bit-identical either way: a chunk past
         all-done emits only pad filler, which stitching strips."""
         L = prompt_len
-        chunk_fn = self._get_jit("dec_chunk", B, L, chunk_tokens)
+        skey = ("s", sampling[0]) if sampling else None
+        rng = sampling[1] if sampling else None
+
+        def _cfn(steps):
+            if skey:
+                return self._get_jit("dec_chunk", B, L, steps, skey)
+            return self._get_jit("dec_chunk", B, L, steps)
+
+        chunk_fn = _cfn(chunk_tokens)
         done = jnp.zeros((B,), bool)
         pieces: List[np.ndarray] = []
         offset = 0
@@ -1436,10 +1579,15 @@ class ScoringEngine:
         while offset < max_new_tokens:
             steps = min(chunk_tokens, max_new_tokens - offset)
             if steps < chunk_tokens:
-                chunk_fn = self._get_jit("dec_chunk", B, L, steps)
-            out, tok, cache, done = chunk_fn(
-                pp, tok, cache, jnp.int32(offset), done
-            )
+                chunk_fn = _cfn(steps)
+            if skey:
+                out, tok, cache, done = chunk_fn(
+                    pp, tok, cache, jnp.int32(offset), done, rng
+                )
+            else:
+                out, tok, cache, done = chunk_fn(
+                    pp, tok, cache, jnp.int32(offset), done
+                )
             offset += steps
             if pipelined:
                 prev, pending = pending, (out, done)
@@ -1611,6 +1759,15 @@ class ScoringEngine:
 
     def _build(self, name: str, *key):
         cfg = self.cfg
+        # Trailing ("s", temperature) key element selects the SAMPLED
+        # variant of a generation wrapper: the fn gains a trailing rng
+        # arg and picks tokens categorically (generate._pick). A
+        # distinct jit-cache key, so greedy callers never pay for it.
+        samp = None
+        if key and isinstance(key[-1], tuple) and len(key[-1]) == 2 \
+                and key[-1][0] == "s":
+            samp = float(key[-1][1])
+            key = key[:-1]
         if name == "t5_labels":
             _, labels, prefix = key
             label_arr = jnp.asarray(list(labels), jnp.int32)
@@ -1667,13 +1824,27 @@ class ScoringEngine:
                     return out.astype(jnp.float32)
 
             elif name == "dec_prefill_shared":
+                if samp is not None:
 
-                def fn(params, pids, pmask, gidx, sids, smask):
-                    last_h, cache = shared_core(
-                        params, pids, pmask, gidx, sids, smask, max_new
-                    )
-                    logits = dec_mod.lm_logits(params, cfg, last_h)
-                    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+                    def fn(params, pids, pmask, gidx, sids, smask, rng):
+                        last_h, cache = shared_core(
+                            params, pids, pmask, gidx, sids, smask, max_new
+                        )
+                        logits = dec_mod.lm_logits(params, cfg, last_h)
+                        return gen_mod._pick(
+                            logits, samp, rng, jnp.int32
+                        ), cache
+                else:
+
+                    def fn(params, pids, pmask, gidx, sids, smask):
+                        last_h, cache = shared_core(
+                            params, pids, pmask, gidx, sids, smask, max_new
+                        )
+                        logits = dec_mod.lm_logits(params, cfg, last_h)
+                        return (
+                            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                            cache,
+                        )
 
             else:  # dec_gen_shared
 
@@ -1724,50 +1895,107 @@ class ScoringEngine:
         if name == "dec_prefill":
             _, max_new = key
 
-            def fn(params, ids, mask):
-                logits, cache = gen_mod.decoder_prefill(params, cfg, ids, mask, max_new)
-                first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return first, cache
+            if samp is not None:
+
+                def fn(params, ids, mask, rng):
+                    logits, cache = gen_mod.decoder_prefill(
+                        params, cfg, ids, mask, max_new
+                    )
+                    return gen_mod._pick(logits, samp, rng, jnp.int32), cache
+            else:
+
+                def fn(params, ids, mask):
+                    logits, cache = gen_mod.decoder_prefill(
+                        params, cfg, ids, mask, max_new
+                    )
+                    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return first, cache
 
             return jax.jit(fn)
         if name == "dec_chunk":
             _, prompt_len, steps = key
 
-            def fn(params, tok, cache, offset, done):
-                out, (tok2, cache2, done2) = gen_mod.decoder_decode_chunk(
-                    params, cfg, tok, cache, prompt_len, offset, steps,
-                    cfg.eos_token_id, done=done,
-                )
-                return out, tok2, cache2, done2
+            if samp is not None:
+
+                def fn(params, tok, cache, offset, done, rng):
+                    out, (tok2, cache2, done2) = gen_mod.decoder_decode_chunk(
+                        params, cfg, tok, cache, prompt_len, offset, steps,
+                        cfg.eos_token_id, done=done,
+                        temperature=samp, rng=rng,
+                    )
+                    return out, tok2, cache2, done2
+            else:
+
+                def fn(params, tok, cache, offset, done):
+                    out, (tok2, cache2, done2) = gen_mod.decoder_decode_chunk(
+                        params, cfg, tok, cache, prompt_len, offset, steps,
+                        cfg.eos_token_id, done=done,
+                    )
+                    return out, tok2, cache2, done2
 
             return jax.jit(fn, donate_argnums=(2,))
         if name == "dec_chunk_rr":
             _, prompt_len, steps, max_new = key
 
-            def fn(params, tok, cache, wp, done):
-                out, (tok2, cache2, wp2, done2) = gen_mod.decoder_decode_chunk_rr(
-                    params, cfg, tok, cache, wp, prompt_len, max_new,
-                    steps, cfg.eos_token_id, done,
-                )
-                return out, tok2, cache2, wp2, done2
+            if samp is not None:
+
+                def fn(params, tok, cache, wp, done, rng, step0):
+                    out, (tok2, cache2, wp2, done2) = (
+                        gen_mod.decoder_decode_chunk_rr(
+                            params, cfg, tok, cache, wp, prompt_len,
+                            max_new, steps, cfg.eos_token_id, done,
+                            temperature=samp, rng=rng, step0=step0,
+                        )
+                    )
+                    return out, tok2, cache2, wp2, done2
+            else:
+
+                def fn(params, tok, cache, wp, done):
+                    out, (tok2, cache2, wp2, done2) = (
+                        gen_mod.decoder_decode_chunk_rr(
+                            params, cfg, tok, cache, wp, prompt_len,
+                            max_new, steps, cfg.eos_token_id, done,
+                        )
+                    )
+                    return out, tok2, cache2, wp2, done2
 
             return jax.jit(fn, donate_argnums=(2,))
         if name == "rr_refill":
 
-            def fn(params, cache, tok, wp, done, ids, mask, slots):
-                return gen_mod.decoder_refill_slots(
-                    params, cfg, cache, tok, wp, done, ids, mask, slots
-                )
+            if samp is not None:
+
+                def fn(params, cache, tok, wp, done, ids, mask, slots, rng):
+                    return gen_mod.decoder_refill_slots(
+                        params, cfg, cache, tok, wp, done, ids, mask,
+                        slots, temperature=samp, rng=rng,
+                    )
+            else:
+
+                def fn(params, cache, tok, wp, done, ids, mask, slots):
+                    return gen_mod.decoder_refill_slots(
+                        params, cfg, cache, tok, wp, done, ids, mask, slots
+                    )
 
             return jax.jit(fn, donate_argnums=(1,))
         if name == "rr_refill_shared":
 
-            def fn(params, cache, tok, wp, done, pids, pmask, gidx,
-                   sids, smask, slots):
-                return gen_mod.decoder_refill_slots_shared(
-                    params, cfg, cache, tok, wp, done, pids, pmask,
-                    gidx, sids, smask, slots,
-                )
+            if samp is not None:
+
+                def fn(params, cache, tok, wp, done, pids, pmask, gidx,
+                       sids, smask, slots, rng):
+                    return gen_mod.decoder_refill_slots_shared(
+                        params, cfg, cache, tok, wp, done, pids, pmask,
+                        gidx, sids, smask, slots,
+                        temperature=samp, rng=rng,
+                    )
+            else:
+
+                def fn(params, cache, tok, wp, done, pids, pmask, gidx,
+                       sids, smask, slots):
+                    return gen_mod.decoder_refill_slots_shared(
+                        params, cfg, cache, tok, wp, done, pids, pmask,
+                        gidx, sids, smask, slots,
+                    )
 
             return jax.jit(fn, donate_argnums=(1,))
         if name == "dec_spec_chunk":

@@ -104,6 +104,17 @@ def _texp(scale_t: jax.Array, out_ndim: int) -> jax.Array:
     return scale_t
 
 
+def _pick(logits, temperature: float, rng, dtype):
+    """Next-token choice: greedy argmax, or (temperature > 0 with a key)
+    a categorical sample of logits/temperature — one key samples every
+    batch row independently. fp32 for a stable softmax."""
+    if temperature > 0.0 and rng is not None:
+        return jax.random.categorical(
+            rng, logits.astype(jnp.float32) / temperature, axis=-1
+        ).astype(dtype)
+    return jnp.argmax(logits, axis=-1).astype(dtype)
+
+
 def _cached_qk(qg, kc, dtype, mode, sub: str):
     """q·K^T against a cached K in any kv_quant mode; ``sub`` contracts
     the last axis of both operands (d) with K's T axis second-to-last.
@@ -702,13 +713,11 @@ def decoder_decode_chunk(
         kc = _append(kc, k_new)
         vc = _append(vc, v_new)
         kmask = kmask.at[:, L + t].set(True)
-        if temperature > 0.0 and rng is not None:
-            step_key = jax.random.fold_in(rng, t)
-            nxt = jax.random.categorical(
-                step_key, logits.astype(jnp.float32) / temperature, axis=-1
-            ).astype(tok.dtype)
-        else:
-            nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+        nxt = _pick(
+            logits, temperature,
+            jax.random.fold_in(rng, t) if rng is not None else None,
+            tok.dtype,
+        )
         out = jnp.where(done, cfg.pad_token_id, tok)
         done = jnp.logical_or(done, tok == eos_id)
         nxt = jnp.where(done, tok, nxt)
@@ -735,6 +744,11 @@ def decoder_decode_chunk_rr(
     steps: int,
     eos_id: int,
     done: jax.Array,  # [B]
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    step0=0,  # int or traced scalar: session-global step of this chunk's
+    #           first token (sampling keys fold step0 + i — rows share a
+    #           key per step but sample independently, see _pick)
 ):
     """Per-row-write-position decode chunk for slot-refill sessions.
 
@@ -762,7 +776,7 @@ def decoder_decode_chunk_rr(
     win = cfg.sliding_window
     win = win if (win is not None and T > win) else None
 
-    def step(carry, _):
+    def step(carry, i):
         tok, kc, vc, kmask, pos, wp, done = carry
         live = jnp.logical_and(~done, wp - prompt_len < max_new_tokens)
         cos, sin = rope_cos_sin(pos[:, None], Dh, cfg.rope_theta,
@@ -775,7 +789,11 @@ def decoder_decode_chunk_rr(
         logits, k_new, v_new = _decode_token_forward(
             params, cfg, tok, kc, vc, amask, cos, sin
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+        nxt = _pick(
+            logits, temperature,
+            jax.random.fold_in(rng, step0 + i) if rng is not None else None,
+            tok.dtype,
+        )
         out = jnp.where(live, tok, pad_id)
         # Append this token's K/V at each row's own position. Frozen rows
         # overwrite their one unused slot with garbage that never becomes
@@ -800,7 +818,7 @@ def decoder_decode_chunk_rr(
 
     init = (first_token, k_cache, v_cache, key_mask, next_pos, wp, done)
     (tok, kc, vc, kmask, pos, wp, done), outs = jax.lax.scan(
-        step, init, length=steps
+        step, init, jnp.arange(steps)
     )
     return outs.T, (tok, (kc, vc, kmask, pos), wp, done)
 
@@ -848,6 +866,8 @@ def decoder_refill_slots(
     ids: jax.Array,  # [Br, P] LEFT-padded to the session prompt length
     mask: jax.Array,  # [Br, P]
     slots: jax.Array,  # [Br] session slot per row; out-of-range = padding
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ):
     """Prefill pending prompts and scatter them into a decode session.
 
@@ -863,9 +883,10 @@ def decoder_refill_slots(
     """
     h, ks, vs, pos = _prefill_layers(params, cfg, ids, mask)
     # Left-padded: the last position is the last real token.
-    first = jnp.argmax(
-        dec_mod.lm_logits(params, cfg, h[:, -1, :]), axis=-1
-    ).astype(tok.dtype)
+    first = _pick(
+        dec_mod.lm_logits(params, cfg, h[:, -1, :]), temperature, rng,
+        tok.dtype,
+    )
     if cfg.kv_quant:
         nkc = _kv_pack(ks, cfg.kv_quant)
         nvc = _kv_pack(vs, cfg.kv_quant)
@@ -888,6 +909,8 @@ def decoder_refill_slots_shared(
     sids: jax.Array,  # [Br, Ls] RIGHT-padded suffixes; Lp + Ls == session P
     smask: jax.Array,
     slots: jax.Array,  # [Br]
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ):
     """Shared-prefix variant of :func:`decoder_refill_slots`: unique
     prompt prefixes prefill once and rows gather their group's K/V, so a
@@ -904,9 +927,9 @@ def decoder_refill_slots_shared(
     last_h, new_cache = decoder_shared_prefill(
         params, cfg, kpre, vpre, pmask_b, sids, smask, 0
     )
-    first = jnp.argmax(
-        dec_mod.lm_logits(params, cfg, last_h), axis=-1
-    ).astype(tok.dtype)
+    first = _pick(
+        dec_mod.lm_logits(params, cfg, last_h), temperature, rng, tok.dtype
+    )
     return _rr_scatter(cache, tok, wp, done, new_cache, first, slots)
 
 

@@ -126,3 +126,30 @@ def test_subset_rankr1_headline():
     line = bench.run_bench(["rankr1"], impl=_impl())
     assert line["metric"] == "rankr1_decode_tokens_per_sec"
     assert line["value"] == 30000.0
+
+
+def test_default_impl_complete():
+    """Every impl attribute run_bench references — `impl.<name>` access
+    or the deferred `run("sec", "<name>")` string form — must exist on
+    the REAL default namespace. Round 4 near-miss: rankr1_refill was
+    added to run_bench but not to the default namespace, and the bare
+    attribute access aborted the whole record before crash isolation
+    could catch it (tests always injected a complete fake impl, so the
+    suite never saw it)."""
+    import inspect
+    import re
+
+    src = "\n".join(
+        line.split("#", 1)[0]
+        for line in inspect.getsource(bench.run_bench).splitlines()
+    )
+    referenced = set(re.findall(r"impl\.(\w+)", src))
+    referenced |= set(re.findall(r'run\(\s*"[^"]+",\s*"(\w+)"', src))
+    assert referenced, "reference scan found nothing — regex rotted?"
+    default = bench._default_impl()
+    missing = sorted(n for n in referenced if not hasattr(default, n))
+    assert not missing, f"default impl lacks sections: {missing}"
+    # The fault-injection fake must model the same surface, or these
+    # tests silently stop covering real sections.
+    fake_missing = sorted(n for n in referenced if not hasattr(_impl(), n))
+    assert not fake_missing, f"test fake lacks sections: {fake_missing}"

@@ -228,3 +228,29 @@ def test_serve_mixed_adapter_window():
     assert service.mixed_waves == 1
     assert len(calls) == 1 and calls[0] == (4, ("a", "b", "c", "d"))
     service.shutdown()
+
+
+@pytest.mark.quick
+def test_mix_cache_lru_bounded(setup):
+    """Distinct adapter name-SETS must not accumulate unboundedly: the
+    stack cache is LRU-bounded by _max_mix_stacks and evicts oldest
+    first (a long-lived serve process mixing varying subsets would
+    otherwise leak one device-resident stack per subset)."""
+    cfg, params, eng = setup
+    eng._mix_cache.clear()
+    eng._max_mix_stacks = 2
+    try:
+        eng._stack_adapters(("ad_a", "ad_b"))
+        eng._stack_adapters(("ad_a", "ad_c"))
+        assert len(eng._mix_cache) == 2
+        # touch the first so it becomes MRU, then overflow
+        eng._stack_adapters(("ad_a", "ad_b"))
+        eng._stack_adapters(("ad_b", "ad_c"))
+        assert len(eng._mix_cache) == 2
+        assert ("ad_a", "ad_b") in eng._mix_cache  # MRU survived
+        assert ("ad_a", "ad_c") not in eng._mix_cache  # LRU evicted
+        # evicted set still works (re-stacked on demand)
+        assert eng._stack_adapters(("ad_a", "ad_c")) is not None
+    finally:
+        eng._max_mix_stacks = max(4, eng._max_cached_adapters)
+        eng._mix_cache.clear()
