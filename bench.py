@@ -443,6 +443,11 @@ def rankr1_refill(batch=48, rows_per_dispatch=16, n_prefix=800,
             out[f"{label}_gen_tokens"] = sum(ntoks)
             if label == "refill":
                 out["refill_batches"] = eng.refill_stats["refills"]
+                # Batches served from the SESSION-CACHED prefix K/V
+                # (suffix-only refill prefill; engine._rr_prep_pre).
+                out["refill_prefix_kv_hits"] = (
+                    eng.refill_stats["prefix_kv_hits"]
+                )
     finally:
         if old is None:
             os.environ.pop("LLMRANKERS_NO_REFILL", None)

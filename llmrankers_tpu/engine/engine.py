@@ -196,7 +196,9 @@ class ScoringEngine:
         self.spec_stats = {"tokens": 0, "rounds": 0}
         # continuous-batching observability: decode sessions that ran the
         # slot-refill path and how many refill batches they dispatched
-        self.refill_stats = {"sessions": 0, "refills": 0}
+        self.refill_stats = {
+            "sessions": 0, "refills": 0, "prefix_kv_hits": 0,
+        }
         # context-cap observability: rows whose real tokens were cut to
         # the model context over this engine's lifetime (the warn-once
         # stderr line is a courtesy; this counter is the record)
@@ -651,7 +653,7 @@ class ScoringEngine:
         return L
 
     def _group(self, chunk: List[List[int]], b_cap: Optional[int] = None,
-               l_total: Optional[int] = None):
+               l_total: Optional[int] = None, want_host: bool = False):
         """Shared-prefix grouping of a chunk (decoder kind only).
 
         Returns (n, device args (pids, pmask, gidx, sids, smask)) when
@@ -660,7 +662,10 @@ class ScoringEngine:
         prefix-bucket + suffix length to exactly that many positions
         (refill sessions: the assembled cache must match the session
         prompt area); when the split can't fit, returns None and the
-        caller uses the plain layout."""
+        caller uses the plain layout. ``want_host`` appends the host-side
+        grouping ``(prefix token lists, padded prefix len, suffix area)``
+        — refill sessions keep it to match later pending rows against the
+        session's cached prefix K/V."""
         if not self.prefix_share:
             return None
         from . import prefix as prefix_mod
@@ -704,11 +709,19 @@ class ScoringEngine:
         gvec = np.zeros((B,), np.int32)
         gvec[: len(gidx)] = gidx
         sids_d, smask_d = self._put(sids, smask)
-        return n, (
+        args = (
             jnp.asarray(pids), jnp.asarray(pmask),
             jax.device_put(jnp.asarray(gvec), self._data_sharding),
             sids_d, smask_d,
         )
+        if want_host:
+            # (unique prefix token lists, padded pids, prefix area,
+            #  suffix area) — _rr_prep_pre matches refill rows against
+            # these to reuse the session's cached prefix K/V.
+            return n, args, (
+                pre_rows, pids, int(pids.shape[1]), int(sids.shape[1])
+            )
+        return n, args
 
     def _chunks(self, rows: List[List[int]], row_limit: Optional[int] = None):
         """Split an oversized wave so B*L stays under max_batch_tokens
@@ -1244,18 +1257,63 @@ class ScoringEngine:
         return np.asarray(fn(pp, *self._put(ids, mask)))[:n]
 
     def _rr_prep(self, batch: List[List[int]], b_cap: int, P: int,
-                 plain: bool = False):
+                 plain: bool = False, want_host: bool = False):
         """Pad a batch to the refill session's layout (prompt area exactly
         ``P`` positions): shared-prefix grouping when it pays and fits,
         else plain left padding (``plain`` forces it — mixed-adapter
         sessions, where prefix K/V would depend on the adapter).
-        Returns (kind, device args, n_real)."""
-        grp = None if plain else self._group(batch, b_cap=b_cap, l_total=P)
+        Returns (kind, device args, n_real); with ``want_host`` appends
+        the _group host info (None on the plain path)."""
+        grp = None if plain else self._group(
+            batch, b_cap=b_cap, l_total=P, want_host=want_host
+        )
         if grp is not None:
+            if want_host:
+                n, args, host = grp
+                return "shared", args, n, host
             n, args = grp
             return "shared", args, n
         ids, mask, n, _ = self._pad_batch_left(batch, b_cap=b_cap, l_force=P)
-        return "plain", self._put(ids, mask), n
+        res = ("plain", self._put(ids, mask), n)
+        return res + (None,) if want_host else res
+
+    def _rr_prep_pre(self, batch: List[List[int]], n_real: int, Br: int,
+                     host):
+        """Lay a refill batch out against the SESSION's cached prefix K/V.
+
+        Each real row must extend one of the session's unique prefixes
+        (longest match wins; an empty-prefix session group accepts any
+        row that fits the suffix area whole) — then only the suffix runs
+        a forward pass (generate.decoder_refill_slots_pre). Returns
+        (gidx np [Br], sids np, device (gidx, sids, smask)) or None when
+        any real row doesn't match (caller falls back to the recompute
+        paths). Rows past ``n_real`` are pad filler: they map to group 0
+        with a pad suffix and their scatter slot is out of range, so the
+        garbage result is dropped (mode="drop")."""
+        pre_rows, _pids, _Lp, Ls = host
+        pad_tok = self.tokenizer.pad_id
+        order = sorted(range(len(pre_rows)), key=lambda g: -len(pre_rows[g]))
+        gidx = np.zeros((Br,), np.int32)
+        sufs: List[List[int]] = []
+        for j, row in enumerate(batch[:n_real]):
+            g = None
+            for gi in order:
+                p = pre_rows[gi]
+                if (
+                    len(p) < len(row) <= len(p) + Ls
+                    and row[: len(p)] == p
+                ):
+                    g = gi
+                    break
+            if g is None:
+                return None
+            gidx[j] = g
+            sufs.append(row[len(pre_rows[g]):])
+        sufs += [[pad_tok]] * (Br - n_real)
+        sids, smask, _, _ = self._pad_batch(sufs, b_cap=Br, l_force=Ls)
+        sids_d, smask_d = self._put(sids, smask)
+        gidx_d = jax.device_put(jnp.asarray(gidx), self._data_sharding)
+        return gidx, sids, (gidx_d, sids_d, smask_d)
 
     def _generate_refill(
         self,
@@ -1336,18 +1394,19 @@ class ScoringEngine:
                 return h
             return np.asarray(args[0])
 
-        kind0, args0, n0 = self._rr_prep(
-            first, row_limit, P, plain=mix is not None
+        kind0, args0, n0, sess_host = self._rr_prep(
+            first, row_limit, P, plain=mix is not None, want_host=True
         )
         # Sampling streams: prefill first-tokens, decode steps (folded by
         # the session-global step inside the chunk fn), refill batches.
         skey = ("s", sampling[0]) if sampling else None
         if sampling:
             k_pref, k_dec, k_ref = jax.random.split(sampling[1], 3)
+        sess_kv = None  # (ks, vs, pmask): session-cached prefix K/V
         if kind0 == "shared":
             shapes = (args0[0].shape, args0[3].shape)
             fn = self._get_jit(
-                "dec_prefill_shared", shapes, mn_pad, *(
+                "rr_prefill_shared", shapes, mn_pad, *(
                     (skey,) if skey else ()
                 )
             )
@@ -1364,7 +1423,21 @@ class ScoringEngine:
             names, idx_all = mix
             slot_idx = self._pad_idx(idx_all[:n0], B)
             pp = self._aug_params(names, slot_idx)
-        tok, cache = fn(pp, *args0, *((k_pref,) if sampling else ()))
+        if kind0 == "shared":
+            # Keep the initial dispatch's prefix K/V for the session:
+            # refill batches whose rows extend the same prefixes (the
+            # Rank-R1 wave shape) then skip the prefix forward entirely
+            # (decoder_refill_slots_pre). Without it, the 800-token-
+            # prefix refill A/B measured break-even (speedup 0.99) —
+            # every refill re-ran the prefix prefill it shares with the
+            # session. G x Lp K/V is a few tens of MB, kept for the
+            # session only.
+            tok, cache, sess_ks, sess_vs = fn(
+                pp, *args0, *((k_pref,) if sampling else ())
+            )
+            sess_kv = (sess_ks, sess_vs, args0[1])
+        else:
+            tok, cache = fn(pp, *args0, *((k_pref,) if sampling else ()))
         pending = list(range(n0, N))
 
         dp = mesh_mod.batch_divisor(self.mesh)
@@ -1397,6 +1470,7 @@ class ScoringEngine:
         ]
         live = n0
         refills = 0
+        pre_hits = 0
         spec_tokens = spec_rounds = 0
         chunk_no = 0
         while True:
@@ -1482,42 +1556,77 @@ class ScoringEngine:
                 take, pending = pending[:k], pending[k:]
                 use, free = free[:k], free[k:]
                 batch = [rows[i] for i in take] + [[pad_tok]] * (Br - k)
-                kindr, argsr, _ = self._rr_prep(
-                    batch, Br, P, plain=mix is not None
-                )
                 slots_np = np.full((Br,), B, np.int32)  # B = OOB -> drop
                 slots_np[:k] = use
                 slots_d = jnp.asarray(slots_np)
-                if kindr == "shared":
-                    rfn = self._get_jit(
-                        "rr_refill_shared",
-                        (argsr[0].shape, argsr[3].shape),
-                        *((skey,) if skey else ()),
-                    )
-                else:
-                    rfn = self._get_jit(
-                        "rr_refill", argsr[0].shape,
-                        *((skey,) if skey else ()),
-                    )
-                pp_r = pp
-                if mix is not None:
-                    idx_b = self._pad_idx(
-                        np.asarray([idx_all[i] for i in take], np.int32), Br
-                    )
-                    pp_r = self._aug_params(names, idx_b)
-                    slot_idx[np.asarray(use, np.int32)] = idx_b[:k]
-                    pp = self._aug_params(names, slot_idx)
-                tok, cache, wp, done = rfn(
-                    pp_r, cache, tok, wp, done, *argsr, slots_d,
-                    *((jax.random.fold_in(k_ref, refills),)
-                      if sampling else ()),
+                # Session-cached prefix K/V first: when the refill rows
+                # extend the initial dispatch's prefixes, only suffixes
+                # run a forward (decoder_refill_slots_pre) — the
+                # recompute paths below re-run the prefix prefill every
+                # refill, which measured break-even on 800-token
+                # prefixes (vLLM avoids this via PagedAttention block
+                # reuse, reference setwise.py:450-454).
+                pre = (
+                    self._rr_prep_pre(batch, k, Br, sess_host)
+                    if sess_kv is not None and mix is None else None
                 )
-                if spec:
-                    hr = np.full((Br, P + mn_pad), pad_tok, np.int32)
-                    hr[:, :P] = _hist_np(kindr, argsr)
-                    hist_d = hist_d.at[slots_d].set(
-                        jnp.asarray(hr), mode="drop"
+                if pre is not None:
+                    gidx_np, sids_np, dargs = pre
+                    rfn = self._get_jit(
+                        "rr_refill_pre", sess_host[2], sess_host[3],
+                        *((skey,) if skey else ()),
                     )
+                    tok, cache, wp, done = rfn(
+                        pp, cache, tok, wp, done, *sess_kv, *dargs,
+                        slots_d,
+                        *((jax.random.fold_in(k_ref, refills),)
+                          if sampling else ()),
+                    )
+                    pre_hits += 1
+                    if spec:
+                        Lp = sess_host[2]
+                        hr = np.full((Br, P + mn_pad), pad_tok, np.int32)
+                        hr[:, :Lp] = sess_host[1][gidx_np]
+                        hr[:, Lp:P] = sids_np
+                        hist_d = hist_d.at[slots_d].set(
+                            jnp.asarray(hr), mode="drop"
+                        )
+                else:
+                    kindr, argsr, _ = self._rr_prep(
+                        batch, Br, P, plain=mix is not None
+                    )
+                    if kindr == "shared":
+                        rfn = self._get_jit(
+                            "rr_refill_shared",
+                            (argsr[0].shape, argsr[3].shape),
+                            *((skey,) if skey else ()),
+                        )
+                    else:
+                        rfn = self._get_jit(
+                            "rr_refill", argsr[0].shape,
+                            *((skey,) if skey else ()),
+                        )
+                    pp_r = pp
+                    if mix is not None:
+                        idx_b = self._pad_idx(
+                            np.asarray(
+                                [idx_all[i] for i in take], np.int32
+                            ), Br
+                        )
+                        pp_r = self._aug_params(names, idx_b)
+                        slot_idx[np.asarray(use, np.int32)] = idx_b[:k]
+                        pp = self._aug_params(names, slot_idx)
+                    tok, cache, wp, done = rfn(
+                        pp_r, cache, tok, wp, done, *argsr, slots_d,
+                        *((jax.random.fold_in(k_ref, refills),)
+                          if sampling else ()),
+                    )
+                    if spec:
+                        hr = np.full((Br, P + mn_pad), pad_tok, np.int32)
+                        hr[:, :P] = _hist_np(kindr, argsr)
+                        hist_d = hist_d.at[slots_d].set(
+                            jnp.asarray(hr), mode="drop"
+                        )
                 for slot, row_i in zip(use, take):
                     slot_rows[slot] = row_i
                     acc[slot] = []
@@ -1528,6 +1637,7 @@ class ScoringEngine:
         with self._stats_lock:
             self.refill_stats["sessions"] += 1
             self.refill_stats["refills"] += refills
+            self.refill_stats["prefix_kv_hits"] += pre_hits
             if spec:
                 self.spec_stats["tokens"] += spec_tokens
                 self.spec_stats["rounds"] += spec_rounds
@@ -1792,7 +1902,8 @@ class ScoringEngine:
                 return out.astype(jnp.float32)
 
             return jax.jit(fn)
-        if name in ("dec_labels_shared", "dec_gen_shared", "dec_prefill_shared"):
+        if name in ("dec_labels_shared", "dec_gen_shared",
+                    "dec_prefill_shared", "rr_prefill_shared"):
             # Shared-prefix paths: prefill each unique prompt prefix once
             # ([G, Lp]), rows gather their group's K/V, then only suffixes
             # run the full-width prefill. vLLM prefix-caching equivalent
@@ -1810,24 +1921,52 @@ class ScoringEngine:
                 kpre = jnp.take(ks, gidx, axis=1)
                 vpre = jnp.take(vs, gidx, axis=1)
                 pmask_b = jnp.take(pmask, gidx, axis=0)
-                return gen_mod.decoder_shared_prefill(
+                last_h, cache = gen_mod.decoder_shared_prefill(
                     params, cfg, kpre, vpre, pmask_b, sids, smask, max_new_
                 )
+                return last_h, cache, ks, vs
 
             if name == "dec_labels_shared":
 
                 def fn(params, pids, pmask, gidx, sids, smask):
-                    last_h, _ = shared_core(
+                    last_h, _, _, _ = shared_core(
                         params, pids, pmask, gidx, sids, smask, None
                     )
                     out = dec_mod.label_logits(params, cfg, last_h, label_arr)
                     return out.astype(jnp.float32)
 
+            elif name == "rr_prefill_shared":
+                # Refill-session variant: ALSO returns the per-group
+                # prefix K/V so the session can hand it to
+                # rr_refill_pre — refills then skip the prefix forward.
+                if samp is not None:
+
+                    def fn(params, pids, pmask, gidx, sids, smask, rng):
+                        last_h, cache, ks, vs = shared_core(
+                            params, pids, pmask, gidx, sids, smask, max_new
+                        )
+                        logits = dec_mod.lm_logits(params, cfg, last_h)
+                        return (
+                            gen_mod._pick(logits, samp, rng, jnp.int32),
+                            cache, ks, vs,
+                        )
+                else:
+
+                    def fn(params, pids, pmask, gidx, sids, smask):
+                        last_h, cache, ks, vs = shared_core(
+                            params, pids, pmask, gidx, sids, smask, max_new
+                        )
+                        logits = dec_mod.lm_logits(params, cfg, last_h)
+                        return (
+                            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                            cache, ks, vs,
+                        )
+
             elif name == "dec_prefill_shared":
                 if samp is not None:
 
                     def fn(params, pids, pmask, gidx, sids, smask, rng):
-                        last_h, cache = shared_core(
+                        last_h, cache, _, _ = shared_core(
                             params, pids, pmask, gidx, sids, smask, max_new
                         )
                         logits = dec_mod.lm_logits(params, cfg, last_h)
@@ -1837,7 +1976,7 @@ class ScoringEngine:
                 else:
 
                     def fn(params, pids, pmask, gidx, sids, smask):
-                        last_h, cache = shared_core(
+                        last_h, cache, _, _ = shared_core(
                             params, pids, pmask, gidx, sids, smask, max_new
                         )
                         logits = dec_mod.lm_logits(params, cfg, last_h)
@@ -1849,7 +1988,7 @@ class ScoringEngine:
             else:  # dec_gen_shared
 
                 def fn(params, pids, pmask, gidx, sids, smask):
-                    last_h, cache = shared_core(
+                    last_h, cache, _, _ = shared_core(
                         params, pids, pmask, gidx, sids, smask, max_new
                     )
                     logits = dec_mod.lm_logits(params, cfg, last_h)
@@ -1995,6 +2134,29 @@ class ScoringEngine:
                     return gen_mod.decoder_refill_slots_shared(
                         params, cfg, cache, tok, wp, done, pids, pmask,
                         gidx, sids, smask, slots,
+                    )
+
+            return jax.jit(fn, donate_argnums=(1,))
+        if name == "rr_refill_pre":
+            # Refill against the SESSION's cached prefix K/V (ks/vs from
+            # rr_prefill_shared): only the suffix tokens run a forward.
+
+            if samp is not None:
+
+                def fn(params, cache, tok, wp, done, ks, vs, pmask,
+                       gidx, sids, smask, slots, rng):
+                    return gen_mod.decoder_refill_slots_pre(
+                        params, cfg, cache, tok, wp, done, ks, vs,
+                        pmask, gidx, sids, smask, slots,
+                        temperature=samp, rng=rng,
+                    )
+            else:
+
+                def fn(params, cache, tok, wp, done, ks, vs, pmask,
+                       gidx, sids, smask, slots):
+                    return gen_mod.decoder_refill_slots_pre(
+                        params, cfg, cache, tok, wp, done, ks, vs,
+                        pmask, gidx, sids, smask, slots,
                     )
 
             return jax.jit(fn, donate_argnums=(1,))

@@ -896,6 +896,46 @@ def decoder_refill_slots(
     return _rr_scatter(cache, tok, wp, done, new_cache, first, slots)
 
 
+def decoder_refill_slots_pre(
+    params,
+    cfg: DecoderConfig,
+    cache,
+    tok: jax.Array,
+    wp: jax.Array,
+    done: jax.Array,
+    ks: jax.Array,  # [Ld, G, KV, Lp, Dh] PRECOMPUTED prefix K (session)
+    vs: jax.Array,
+    pmask: jax.Array,  # [G, Lp]
+    gidx: jax.Array,  # [Br] group per row
+    sids: jax.Array,  # [Br, Ls] RIGHT-padded suffixes; Lp + Ls == session P
+    smask: jax.Array,
+    slots: jax.Array,  # [Br]
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+):
+    """Refill from a SESSION-CACHED prefix K/V: only the suffix tokens run
+    a forward pass. A refill session whose pending rows share the initial
+    dispatch's prompt prefixes (the Rank-R1 wave shape — one system +
+    query head across all comparisons) would otherwise re-run the prefix
+    forward on EVERY refill batch: measured on the tunneled TPU chip, the
+    800-token-prefix refill A/B spent so much on repeated prefix prefills
+    that slot refill only broke even (speedup 0.99, 2026-08-19 run) —
+    vLLM avoids exactly this via PagedAttention prefix block reuse
+    (reference llmrankers/setwise.py:450-454)."""
+    kpre = jnp.take(ks, gidx, axis=1)
+    vpre = jnp.take(vs, gidx, axis=1)
+    pmask_b = jnp.take(pmask, gidx, axis=0)
+    # max_new_tokens=0: the assembled cache stays at prompt length
+    # (Lp + Ls), exactly the scatter source _rr_scatter wants.
+    last_h, new_cache = decoder_shared_prefill(
+        params, cfg, kpre, vpre, pmask_b, sids, smask, 0
+    )
+    first = _pick(
+        dec_mod.lm_logits(params, cfg, last_h), temperature, rng, tok.dtype
+    )
+    return _rr_scatter(cache, tok, wp, done, new_cache, first, slots)
+
+
 def decoder_refill_slots_shared(
     params,
     cfg: DecoderConfig,
@@ -915,22 +955,17 @@ def decoder_refill_slots_shared(
     """Shared-prefix variant of :func:`decoder_refill_slots`: unique
     prompt prefixes prefill once and rows gather their group's K/V, so a
     refill batch keeps the prefix-sharing saving of the initial dispatch
-    (engine._group). The scattered rows use the right-padded-with-hole
-    layout; it coexists with left-padded rows in the same session because
-    every row is self-describing via its key mask and RoPE positions."""
+    (engine._group). Used when a refill batch's prefixes DIFFER from the
+    session's cached set (else :func:`decoder_refill_slots_pre` skips the
+    prefix forward entirely). The scattered rows use the right-padded-
+    with-hole layout; it coexists with left-padded rows in the same
+    session because every row is self-describing via its key mask and
+    RoPE positions."""
     ks, vs = decoder_prefix_kv(params, cfg, pids, pmask)
-    kpre = jnp.take(ks, gidx, axis=1)
-    vpre = jnp.take(vs, gidx, axis=1)
-    pmask_b = jnp.take(pmask, gidx, axis=0)
-    # max_new_tokens=0: the assembled cache stays at prompt length
-    # (Lp + Ls), exactly the scatter source _rr_scatter wants.
-    last_h, new_cache = decoder_shared_prefill(
-        params, cfg, kpre, vpre, pmask_b, sids, smask, 0
+    return decoder_refill_slots_pre(
+        params, cfg, cache, tok, wp, done, ks, vs, pmask, gidx, sids,
+        smask, slots, temperature=temperature, rng=rng,
     )
-    first = _pick(
-        dec_mod.lm_logits(params, cfg, last_h), temperature, rng, tok.dtype
-    )
-    return _rr_scatter(cache, tok, wp, done, new_cache, first, slots)
 
 
 # ---------------------------------------------------------------------------

@@ -155,6 +155,88 @@ def test_refill_session_shared_prefix(tiny, monkeypatch):
     assert eng.refill_stats["sessions"] == 1
 
 
+def _prefixed_rows(pre_len=120, n=9, seed=7):
+    """Rows long enough that the initial dispatch's shared-prefix group
+    clears group_shared_prefixes' min_saving (pre_len * 3 rows >= 256)."""
+    pre = [int(t) for t in np.random.RandomState(seed).randint(2, 258, pre_len)]
+    return pre, [
+        pre + [
+            int(t)
+            for t in np.random.RandomState(100 + i).randint(2, 258, 8 + i % 7)
+        ]
+        for i in range(n)
+    ]
+
+
+@pytest.mark.quick
+def test_refill_session_prefix_kv_reuse(tiny, monkeypatch):
+    """Refill batches whose rows extend the initial dispatch's prefixes
+    reuse the SESSION-CACHED prefix K/V (decoder_refill_slots_pre): only
+    suffixes run a forward. Without the cache, every refill re-ran the
+    prefix prefill — measured break-even (0.99x) on 800-token Rank-R1
+    prefixes on the TPU chip. Token-exact vs the frozen-row path, and
+    the stats pin that the pre path actually engaged."""
+    cfg, params = tiny
+    _, rows = _prefixed_rows()
+    eng = _engine(cfg, params, len_buckets=(160,))
+    base = _engine(cfg, params, len_buckets=(160,))
+    _force_rows_per_dispatch(eng, 4)
+    _force_rows_per_dispatch(base, 4)
+    monkeypatch.setenv("LLMRANKERS_NO_REFILL", "1")
+    out_b, n_b = base.generate(rows, max_new_tokens=12, chunk_tokens=4)
+    monkeypatch.delenv("LLMRANKERS_NO_REFILL")
+    out_r, n_r = eng.generate(rows, max_new_tokens=12, chunk_tokens=4)
+    assert out_r == out_b and n_r == n_b
+    assert eng.refill_stats["sessions"] == 1
+    assert eng.refill_stats["refills"] >= 1
+    # every refill batch matched the session's cached prefixes
+    assert eng.refill_stats["prefix_kv_hits"] == eng.refill_stats["refills"]
+
+
+def test_refill_session_prefix_kv_fallback(tiny, monkeypatch):
+    """Pending rows that DON'T extend the session's prefixes fall back to
+    the recompute refill paths — outputs stay exact, no pre hits for the
+    unmatched batches."""
+    cfg, params = tiny
+    _, shared = _prefixed_rows(n=5)
+    # tail rows: unrelated prompts (no session prefix match)
+    tail = _rows(4, seed=11, lo=20, hi=40)
+    rows = shared + tail
+    eng = _engine(cfg, params, len_buckets=(160,))
+    base = _engine(cfg, params, len_buckets=(160,))
+    _force_rows_per_dispatch(eng, 4)
+    _force_rows_per_dispatch(base, 4)
+    monkeypatch.setenv("LLMRANKERS_NO_REFILL", "1")
+    out_b, n_b = base.generate(rows, max_new_tokens=12, chunk_tokens=4)
+    monkeypatch.delenv("LLMRANKERS_NO_REFILL")
+    out_r, n_r = eng.generate(rows, max_new_tokens=12, chunk_tokens=4)
+    assert out_r == out_b and n_r == n_b
+    assert eng.refill_stats["sessions"] == 1
+    # some refills matched (rows 4 extends the prefix), some fell back
+    assert eng.refill_stats["prefix_kv_hits"] < eng.refill_stats["refills"]
+
+
+def test_refill_session_prefix_kv_spec(tiny, monkeypatch):
+    """Prefix-KV refill composes with prompt-lookup speculation: the
+    refilled slot's token history is assembled from the session's host
+    prefix tokens + the batch suffixes."""
+    cfg, params = tiny
+    rng = np.random.RandomState(8)
+    seg = [int(t) for t in rng.randint(2, 258, 8)]
+    pre = (seg * 20)[:120]  # repetitive -> bigram drafts hit
+    rows = [pre + (seg * 3)[: 8 + i % 5] for i in range(9)]
+    eng = _engine(cfg, params, len_buckets=(160,), spec_lookup=3)
+    base = _engine(cfg, params, len_buckets=(160,), spec_lookup=3)
+    _force_rows_per_dispatch(eng, 4)
+    _force_rows_per_dispatch(base, 4)
+    monkeypatch.setenv("LLMRANKERS_NO_REFILL", "1")
+    out_b, n_b = base.generate(rows, max_new_tokens=16, chunk_tokens=8)
+    monkeypatch.delenv("LLMRANKERS_NO_REFILL")
+    out_r, n_r = eng.generate(rows, max_new_tokens=16, chunk_tokens=8)
+    assert out_r == out_b and n_r == n_b
+    assert eng.refill_stats["prefix_kv_hits"] >= 1
+
+
 @pytest.mark.parametrize("mode", ["int8", "int4"])
 def test_refill_session_quantized_kv(tiny, monkeypatch, mode):
     cfg, params = tiny
