@@ -462,6 +462,74 @@ def rankr1_refill(batch=48, rows_per_dispatch=16, n_prefix=800,
     return out
 
 
+def prefix_cache_waves(n_waves=16, rows_per_wave=8, n_prefix=800,
+                       n_suffix=256, quantize="int8"):
+    """Cross-wave prefix-KV cache A/B (engine._pkv_assemble).
+
+    A setwise/Rank-R1 sort scores MANY successive waves whose rows all
+    share one (system + instruction + query) head: heapsort rounds,
+    bubblesort passes, num_permutation copies. Within-wave grouping
+    dedups the prefix forward per dispatch; the cross-wave cache keeps
+    the prefix K/V on device between dispatches, so wave 2+ runs
+    suffix-only forwards — vLLM's cross-request PagedAttention prefix
+    reuse (reference setwise.py:450-454). Both arms run the SAME wave
+    sequence on the likelihood-scoring path (label logits); the cached
+    arm's warm-up wave seeds the cache, exactly as a sort's first wave
+    would."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from llmrankers_tpu.engine import ByteTokenizer, ScoringEngine
+    from llmrankers_tpu.models import decoder as dec_mod
+    from llmrankers_tpu.models.config import DecoderConfig
+
+    cfg = dataclasses.replace(DecoderConfig.qwen25_3b(), vocab_size=512)
+    params = dec_mod.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tok = ByteTokenizer(cfg.vocab_size)
+
+    rng = np.random.RandomState(77)
+    pre = rng.randint(2, 258, n_prefix).tolist()
+    waves = [
+        [pre + rng.randint(2, 258, n_suffix).tolist()
+         for _ in range(rows_per_wave)]
+        for _ in range(n_waves)
+    ]
+    labels = [65, 66, 67, 68]
+
+    out = {
+        "model": "qwen2.5-3b-shape-v512", "waves": n_waves,
+        "rows_per_wave": rows_per_wave, "prefix_tokens": n_prefix,
+        "suffix_tokens": n_suffix, "quantize": quantize,
+    }
+    ref = None
+    for label, mb in (("uncached", 0), ("cached", 256)):
+        eng = ScoringEngine(
+            "decoder", cfg, params, tok, quantize=quantize,
+            prefix_cache_mb=mb,
+        )
+        got = eng.score_labels(waves[0], labels)  # compile + cache seed
+        if ref is None:
+            ref = got
+        else:
+            # numerics gate: both arms agree on every label winner
+            assert (got.argmax(1) == ref.argmax(1)).all()
+        t0 = time.perf_counter()
+        for w in waves:
+            eng.score_labels(w, labels)
+        wall = time.perf_counter() - t0
+        out[f"{label}_wall_s"] = round(wall, 3)
+        out[f"{label}_waves_per_s"] = round(n_waves / wall, 2)
+        if mb:
+            out["cache_hits"] = eng.pkv_stats["hits"]
+            out["cache_misses"] = eng.pkv_stats["misses"]
+    out["speedup"] = round(
+        out["uncached_wall_s"] / out["cached_wall_s"], 2
+    )
+    return out
+
+
 def rankr1_spec(batch=8, n_prefix=1200, n_suffix=640, new_tokens=128, K=8):
     """Prompt-lookup speculative decoding, full-accept regime.
 
@@ -618,6 +686,7 @@ def _default_impl():
         rankr1_decode=rankr1_decode,
         rankr1_spec=rankr1_spec,
         rankr1_refill=rankr1_refill,
+        prefix_cache_waves=prefix_cache_waves,
     )
 
 
@@ -727,6 +796,9 @@ def run_bench(sections, impl=None):
         # Continuous batching: frozen-row vs slot-refill A/B on a
         # multi-dispatch wave with geometric completion lengths.
         run("rankr1_refill", "rankr1_refill")
+        # Cross-wave prefix-KV cache: sort-shaped repeated-wave scoring,
+        # cached vs per-wave prefix recompute.
+        run("prefix_cache", "prefix_cache_waves")
 
     # --- assemble the one-line record -------------------------------------
     head = xl if _ok(xl) else (

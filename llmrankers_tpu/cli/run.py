@@ -130,6 +130,13 @@ def build_parsers():
                             "halves the cache FOOTPRINT again vs int8 "
                             "(more rows-per-chip) — its decode stream "
                             "matches int8's (docs/ARCHITECTURE.md)")
+    run_p.add_argument("--prefix_cache_mb", type=int, default=256,
+                       help="cross-wave prefix-KV cache budget (decoder "
+                            "models): unique prompt prefixes' K/V kept on "
+                            "device across dispatches, so a sort's "
+                            "successive waves skip the query-head prefill "
+                            "(vLLM cross-request prefix caching). 0 "
+                            "disables")
     run_p.add_argument("--spec_lookup", type=int, default=0,
                        help="K>0: prompt-lookup speculative decoding with "
                             "K-token drafts (decoder generation; outputs "
@@ -305,6 +312,7 @@ def make_engine(run_args, lora_path=None):
                          kv_quantize=run_args.kv_quantize,
                          spec_lookup=run_args.spec_lookup,
                          max_cached_adapters=run_args.max_cached_adapters,
+                         prefix_cache_mb=run_args.prefix_cache_mb,
                          **extra)
 
 

@@ -76,6 +76,11 @@ class BatchStats:
     completion_tokens: int = 0
 
 
+# Sentinel: "don't consult the cross-wave prefix-KV cache" (None is a
+# valid cache key — it means the base, adapter-less weights).
+_NO_PKV = object()
+
+
 class ScoringEngine:
     """One model + tokenizer + mesh; stateless jitted compute underneath."""
 
@@ -100,6 +105,12 @@ class ScoringEngine:
         spec_lookup: int = 0,  # >0: prompt-lookup speculative decoding
         # with K-token drafts (decoder generation; vLLM ngram-spec parity)
         max_cached_adapters: int = 1,  # merged-weight copies kept on device
+        # Cross-wave prefix-KV cache budget (decoder kind): unique prompt
+        # prefixes' per-layer K/V kept on device ACROSS engine calls, so
+        # a sort's successive waves (heapsort rounds re-scoring the same
+        # query head) skip the prefix forward — vLLM's cross-request
+        # PagedAttention prefix caching (setwise.py:450-454). 0 disables.
+        prefix_cache_mb: int = 256,
     ):
         import dataclasses
         import os
@@ -255,6 +266,26 @@ class ScoringEngine:
         )
         self._jit_cache: Dict[Any, Any] = {}
         self._warned_ctx = False
+        # Cross-wave prefix-KV cache: (adapter_key, prefix_tokens) ->
+        # (ks [Ld, KV, len, Dh], vs, nbytes), LRU-evicted to the byte
+        # budget. Entries are stored UNPADDED at their exact prefix
+        # length (K/V at real positions is padding-invariant: absolute
+        # RoPE + masked attention), so one entry serves waves whose
+        # prefix area buckets differently. See _pkv_assemble.
+        import collections as _collections
+        import threading as _threading
+        self._pkv: "_collections.OrderedDict[Any, Any]" = (
+            _collections.OrderedDict()
+        )
+        self._pkv_bytes = 0
+        self._pkv_budget = (
+            int(prefix_cache_mb) * (1 << 20)
+            if self.prefix_share and kind == "decoder"
+            and os.environ.get("LLMRANKERS_NO_PKV_CACHE") != "1"
+            else 0
+        )
+        self._pkv_lock = _threading.Lock()
+        self.pkv_stats = {"hits": 0, "misses": 0, "evictions": 0}
 
         if kind == "t5":
             pspecs = mesh_mod.t5_param_pspecs(params)
@@ -337,6 +368,12 @@ class ScoringEngine:
             self._mix_cache = collections.OrderedDict(
                 (k, v) for k, v in self._mix_cache.items() if name not in k
             )
+        # Re-registering a name invalidates its cached prefix K/V too —
+        # the merged weights (and thus the prefix forward) changed.
+        with self._pkv_lock:
+            stale = [k for k in self._pkv if k[0] == name]
+            for k in stale:
+                self._pkv_bytes -= self._pkv.pop(k)[2]
 
     def _params_for(self, adapter: Optional[str]):
         if adapter is None:
@@ -723,6 +760,102 @@ class ScoringEngine:
             )
         return n, args
 
+    def _pkv_assemble(self, pp, akey, host):
+        """Cross-wave prefix-KV cache lookup + fill for one wave.
+
+        Returns ``(ks, vs)`` shaped [Ld, G, KV, Lp, Dh] covering the
+        wave's unique prefixes — cached entries padded to the wave's
+        prefix area, missing ones computed in ONE ``prefix_kv`` dispatch
+        and inserted (LRU, byte budget) — or None when the cache is
+        disabled. A sort's successive waves re-score the same query
+        heads (heapsort rounds, bubblesort passes, num_permutation
+        copies): within-wave grouping (_group) dedups the prefix forward
+        per dispatch, this cache dedups it across dispatches — vLLM's
+        cross-request prefix-block reuse (reference setwise.py:450-454).
+
+        ``akey`` keys the adapter identity (None = base weights): merged
+        weights change the prefix forward, so each adapter caches its
+        own K/V; add_adapter() purges a re-registered name. Mixed
+        per-row-adapter dispatches never reach here (grouping is skipped
+        for them)."""
+        if self._pkv_budget <= 0:
+            return None
+        pre_rows, _pids, Lp, _Ls = host
+        keys = [(akey, tuple(p)) for p in pre_rows]
+        got: Dict[int, Any] = {}
+        misses: List[int] = []
+        with self._pkv_lock:
+            for g, key in enumerate(keys):
+                e = self._pkv.get(key)
+                if e is None:
+                    misses.append(g)
+                else:
+                    self._pkv.move_to_end(key)
+                    got[g] = (e[0], e[1])
+            self.pkv_stats["hits"] += len(got)
+            self.pkv_stats["misses"] += len(misses)
+        if misses:
+            mpre = [pre_rows[g] for g in misses]
+            mids, mmask, _, _ = self._pad_batch(
+                mpre, b_cap=len(mpre), l_force=Lp
+            )
+            fn = self._get_jit("prefix_kv")
+            ks_m, vs_m = fn(pp, jnp.asarray(mids), jnp.asarray(mmask))
+            with self._pkv_lock:
+                for j, g in enumerate(misses):
+                    # Store sliced to the true length (>=1 so empty
+                    # singleton-group prefixes stay indexable; their
+                    # pmask row is all-false, so the value is never
+                    # attended).
+                    Lr = max(1, len(pre_rows[g]))
+                    ek = ks_m[:, j, :, :Lr, :]
+                    ev = vs_m[:, j, :, :Lr, :]
+                    got[g] = (ek, ev)
+                    nbytes = int(ek.size) * ek.dtype.itemsize * 2
+                    old = self._pkv.pop(keys[g], None)
+                    if old is not None:
+                        self._pkv_bytes -= old[2]
+                    self._pkv[keys[g]] = (ek, ev, nbytes)
+                    self._pkv_bytes += nbytes
+                while self._pkv_bytes > self._pkv_budget and self._pkv:
+                    _, (_, _, eb) = self._pkv.popitem(last=False)
+                    self._pkv_bytes -= eb
+                    self.pkv_stats["evictions"] += 1
+        ks_list, vs_list = [], []
+        for g in range(len(pre_rows)):
+            ek, ev = got[g]
+            pad = Lp - ek.shape[2]
+            if pad:
+                pw = ((0, 0), (0, 0), (0, pad), (0, 0))
+                ek, ev = jnp.pad(ek, pw), jnp.pad(ev, pw)
+            ks_list.append(ek)
+            vs_list.append(ev)
+        return jnp.stack(ks_list, axis=1), jnp.stack(vs_list, axis=1)
+
+    def _pkv_insert(self, akey, pre_rows, ks, vs):
+        """Seed the cross-wave prefix cache from K/V a dispatch already
+        computed (refill-session start: rr_prefill_shared returns it
+        anyway), so later waves of the same sort hit without ever paying
+        a standalone prefix_kv dispatch."""
+        if self._pkv_budget <= 0:
+            return
+        with self._pkv_lock:
+            for g, p in enumerate(pre_rows):
+                key = (akey, tuple(p))
+                if key in self._pkv:
+                    self._pkv.move_to_end(key)
+                    continue
+                Lr = max(1, len(p))
+                ek = ks[:, g, :, :Lr, :]
+                ev = vs[:, g, :, :Lr, :]
+                nbytes = int(ek.size) * ek.dtype.itemsize * 2
+                self._pkv[key] = (ek, ev, nbytes)
+                self._pkv_bytes += nbytes
+            while self._pkv_bytes > self._pkv_budget and self._pkv:
+                _, (_, _, eb) = self._pkv.popitem(last=False)
+                self._pkv_bytes -= eb
+                self.pkv_stats["evictions"] += 1
+
     def _chunks(self, rows: List[List[int]], row_limit: Optional[int] = None):
         """Split an oversized wave so B*L stays under max_batch_tokens
         (and under ``row_limit`` when the caller has a per-row memory
@@ -873,9 +1006,20 @@ class ScoringEngine:
                 fn = self._get_jit("t5_labels", ids.shape, labels, prefix)
                 pending.append((off, n, fn(pp, *self._put(ids, mask))))
                 continue
-            grp = None if mix else self._group(chunk)
+            grp = None if mix else self._group(chunk, want_host=True)
             if grp is not None:
-                n, args = grp
+                n, args, host = grp
+                pre = self._pkv_assemble(pp, adapter, host)
+                if pre is not None:
+                    fn = self._get_jit(
+                        "dec_labels_pre",
+                        (pre[0].shape, args[3].shape), labels,
+                    )
+                    pending.append((off, n, fn(
+                        pp, pre[0], pre[1], args[1], args[2], args[3],
+                        args[4],
+                    )))
+                    continue
                 fn = self._get_jit(
                     "dec_labels_shared", (args[0].shape, args[3].shape), labels
                 )
@@ -1082,6 +1226,7 @@ class ScoringEngine:
                         pp, prompt_rows, max_new_tokens, stop_strings,
                         chunk_tokens, row_limit, mix=mix,
                         sampling=sampling,
+                        pkv_key=adapter if mix is None else _NO_PKV,
                     )
                     break
                 except Exception as e:
@@ -1113,6 +1258,7 @@ class ScoringEngine:
                         (sampling[0], jax.random.fold_in(sampling[1], off))
                         if sampling else None
                     ),
+                    pkv_key=adapter if mix is None else _NO_PKV,
                 )
             except Exception as e:  # catch-halve-retry on device OOM
                 if len(chunk) == 1 or not _is_oom(e):
@@ -1143,6 +1289,7 @@ class ScoringEngine:
         row_limit: Optional[int],
         mix_chunk=None,  # (names, idx np [len(chunk)]) multi-adapter rows
         sampling=None,  # (temperature, rng) — forces the chunked route
+        pkv_key=_NO_PKV,  # adapter key for the cross-wave prefix cache
     ) -> np.ndarray:
         """One generate dispatch over ``chunk`` rows; returns the emitted
         token matrix [n, max_new_tokens]. Everything that can hit a
@@ -1161,20 +1308,35 @@ class ScoringEngine:
         )
         grp = (
             None if (self.kind == "t5" or mix_chunk)
-            else self._group(chunk, row_limit)
+            else self._group(chunk, row_limit, want_host=True)
         )
         if self.kind == "t5":
             ids, mask, n, B = self._pad_batch(chunk, b_cap=row_limit)
             fn = self._get_jit("t5_gen", ids.shape, prefix, max_new_tokens)
             return np.asarray(fn(pp, *self._put(ids, mask)))[:n]
         if grp is not None:
-            n, args = grp
+            n, args, host = grp
             B = args[3].shape[0]
             prompt_len = args[0].shape[1] + args[3].shape[1]
-            shapes = (args[0].shape, args[3].shape)
+            # Cross-wave prefix cache: when enabled, swap the in-jit
+            # prefix forward for cache-assembled K/V inputs — the
+            # *_pre jit family mirrors *_shared argument-for-argument
+            # past the swapped prefix operands.
+            pre = (
+                self._pkv_assemble(pp, pkv_key, host)
+                if pkv_key is not _NO_PKV else None
+            )
+            if pre is not None:
+                shapes = (pre[0].shape, args[3].shape)
+                jargs = (pre[0], pre[1], args[1], args[2], args[3], args[4])
+                nm_prefill, nm_gen = "dec_prefill_pre", "dec_gen_pre"
+            else:
+                shapes = (args[0].shape, args[3].shape)
+                jargs = args
+                nm_prefill, nm_gen = "dec_prefill_shared", "dec_gen_shared"
             if spec:
-                fn = self._get_jit("dec_prefill_shared", shapes, mn_pad)
-                tok, cache = fn(pp, *args)
+                fn = self._get_jit(nm_prefill, shapes, mn_pad)
+                tok, cache = fn(pp, *jargs)
                 Lp = args[0].shape[1]
                 hist = np.full(
                     (B, prompt_len + mn_pad), self.tokenizer.pad_id,
@@ -1190,24 +1352,24 @@ class ScoringEngine:
                 if sampling is not None:
                     k_pref, k_dec = jax.random.split(sampling[1])
                     fn = self._get_jit(
-                        "dec_prefill_shared", shapes, max_new_tokens,
+                        nm_prefill, shapes, max_new_tokens,
                         ("s", sampling[0]),
                     )
-                    tok, cache = fn(pp, *args, k_pref)
+                    tok, cache = fn(pp, *jargs, k_pref)
                     samp = (sampling[0], k_dec)
                 else:
                     fn = self._get_jit(
-                        "dec_prefill_shared", shapes, max_new_tokens
+                        nm_prefill, shapes, max_new_tokens
                     )
-                    tok, cache = fn(pp, *args)
+                    tok, cache = fn(pp, *jargs)
                     samp = None
                 return self._decode_chunked(
                     pp, tok, cache, B, prompt_len, n,
                     max_new_tokens, chunk_tokens, stop_strings,
                     sampling=samp,
                 )
-            fn = self._get_jit("dec_gen_shared", shapes, max_new_tokens)
-            return np.asarray(fn(pp, *args))[:n]
+            fn = self._get_jit(nm_gen, shapes, max_new_tokens)
+            return np.asarray(fn(pp, *jargs))[:n]
         if mix_chunk:
             # Per-row multi-adapter rows: one aug-params pytree carries
             # the adapter stack + row indices through prefill AND decode.
@@ -1325,6 +1487,7 @@ class ScoringEngine:
         row_limit: int,
         mix=None,  # (names, idx np [N]) per-row multi-adapter assignment
         sampling=None,  # (temperature, rng) categorical sampling
+        pkv_key=_NO_PKV,  # adapter key for the cross-wave prefix cache
     ) -> np.ndarray:
         """Continuous-batching decode session over a multi-dispatch wave.
 
@@ -1403,13 +1566,26 @@ class ScoringEngine:
         if sampling:
             k_pref, k_dec, k_ref = jax.random.split(sampling[1], 3)
         sess_kv = None  # (ks, vs, pmask): session-cached prefix K/V
+        sess_pre = None  # cross-wave cache-assembled prefix K/V
         if kind0 == "shared":
-            shapes = (args0[0].shape, args0[3].shape)
-            fn = self._get_jit(
-                "rr_prefill_shared", shapes, mn_pad, *(
-                    (skey,) if skey else ()
-                )
+            sess_pre = (
+                self._pkv_assemble(pp, pkv_key, sess_host)
+                if pkv_key is not _NO_PKV else None
             )
+            if sess_pre is not None:
+                shapes = (sess_pre[0].shape, args0[3].shape)
+                fn = self._get_jit(
+                    "dec_prefill_pre", shapes, mn_pad, *(
+                        (skey,) if skey else ()
+                    )
+                )
+            else:
+                shapes = (args0[0].shape, args0[3].shape)
+                fn = self._get_jit(
+                    "rr_prefill_shared", shapes, mn_pad, *(
+                        (skey,) if skey else ()
+                    )
+                )
             B = args0[3].shape[0]
         else:
             fn = self._get_jit(
@@ -1423,7 +1599,15 @@ class ScoringEngine:
             names, idx_all = mix
             slot_idx = self._pad_idx(idx_all[:n0], B)
             pp = self._aug_params(names, slot_idx)
-        if kind0 == "shared":
+        if kind0 == "shared" and sess_pre is not None:
+            # Cross-wave cache hit at session start: the prefix K/V is
+            # already assembled, only suffixes prefill.
+            tok, cache = fn(
+                pp, sess_pre[0], sess_pre[1], args0[1], args0[2],
+                args0[3], args0[4], *((k_pref,) if sampling else ())
+            )
+            sess_kv = (sess_pre[0], sess_pre[1], args0[1])
+        elif kind0 == "shared":
             # Keep the initial dispatch's prefix K/V for the session:
             # refill batches whose rows extend the same prefixes (the
             # Rank-R1 wave shape) then skip the prefix forward entirely
@@ -1431,11 +1615,14 @@ class ScoringEngine:
             # prefix refill A/B measured break-even (speedup 0.99) —
             # every refill re-ran the prefix prefill it shares with the
             # session. G x Lp K/V is a few tens of MB, kept for the
-            # session only.
+            # session only — and seeded into the cross-wave cache so
+            # the NEXT wave of the same sort starts from a hit.
             tok, cache, sess_ks, sess_vs = fn(
                 pp, *args0, *((k_pref,) if sampling else ())
             )
             sess_kv = (sess_ks, sess_vs, args0[1])
+            if pkv_key is not _NO_PKV:
+                self._pkv_insert(pkv_key, sess_host[0], sess_ks, sess_vs)
         else:
             tok, cache = fn(pp, *args0, *((k_pref,) if sampling else ()))
         pending = list(range(n0, N))
@@ -1900,6 +2087,85 @@ class ScoringEngine:
                 # Left-padded: last position is the last real token.
                 out = dec_mod.label_logits(params, cfg, hidden[:, -1, :], label_arr)
                 return out.astype(jnp.float32)
+
+            return jax.jit(fn)
+        if name == "prefix_kv":
+            # Standalone unique-prefix forward for the cross-wave
+            # prefix-KV cache (_pkv_assemble): [G, Lp] -> per-layer K/V
+            # [Ld, G, KV, Lp, Dh] x2. jax.jit respecializes per shape.
+
+            def fn(params, pids, pmask):
+                return gen_mod.decoder_prefix_kv(params, cfg, pids, pmask)
+
+            return jax.jit(fn)
+        if name in ("dec_labels_pre", "dec_gen_pre", "dec_prefill_pre"):
+            # Consumers of CACHE-ASSEMBLED prefix K/V: identical math to
+            # the *_shared family below, minus the in-jit prefix forward
+            # (ks/vs arrive as inputs from _pkv_assemble). NOT donated —
+            # the cache keeps the entries across waves.
+            if name == "dec_labels_pre":
+                (kshape, sshape), labels = key
+                label_arr = jnp.asarray(list(labels), jnp.int32)
+                max_new = None
+            else:
+                (kshape, sshape), max_new = key
+            prompt_len = kshape[3] + sshape[1]
+
+            def pre_core(params, ks, vs, pmask, gidx, sids, smask, mn):
+                kpre = jnp.take(ks, gidx, axis=1)
+                vpre = jnp.take(vs, gidx, axis=1)
+                pmask_b = jnp.take(pmask, gidx, axis=0)
+                return gen_mod.decoder_shared_prefill(
+                    params, cfg, kpre, vpre, pmask_b, sids, smask, mn
+                )
+
+            if name == "dec_labels_pre":
+
+                def fn(params, ks, vs, pmask, gidx, sids, smask):
+                    last_h, _ = pre_core(
+                        params, ks, vs, pmask, gidx, sids, smask, None
+                    )
+                    out = dec_mod.label_logits(params, cfg, last_h, label_arr)
+                    return out.astype(jnp.float32)
+
+            elif name == "dec_prefill_pre":
+                if samp is not None:
+
+                    def fn(params, ks, vs, pmask, gidx, sids, smask, rng):
+                        last_h, cache = pre_core(
+                            params, ks, vs, pmask, gidx, sids, smask,
+                            max_new,
+                        )
+                        logits = dec_mod.lm_logits(params, cfg, last_h)
+                        return (
+                            gen_mod._pick(logits, samp, rng, jnp.int32),
+                            cache,
+                        )
+                else:
+
+                    def fn(params, ks, vs, pmask, gidx, sids, smask):
+                        last_h, cache = pre_core(
+                            params, ks, vs, pmask, gidx, sids, smask,
+                            max_new,
+                        )
+                        logits = dec_mod.lm_logits(params, cfg, last_h)
+                        return (
+                            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                            cache,
+                        )
+
+            else:  # dec_gen_pre
+
+                def fn(params, ks, vs, pmask, gidx, sids, smask):
+                    last_h, cache = pre_core(
+                        params, ks, vs, pmask, gidx, sids, smask, max_new
+                    )
+                    logits = dec_mod.lm_logits(params, cfg, last_h)
+                    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return gen_mod.decoder_greedy_decode(
+                        params, cfg, first, cache, prompt_len, max_new,
+                        cfg.eos_token_id,
+                    )
 
             return jax.jit(fn)
         if name in ("dec_labels_shared", "dec_gen_shared",

@@ -335,6 +335,11 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                         getattr(eng, "refill_stats", None)
                         or {"sessions": 0, "refills": 0}
                     ),
+                    "prefix_cache": dict(
+                        getattr(eng, "pkv_stats", None)
+                        or {"hits": 0, "misses": 0, "evictions": 0}
+                    ),
+                    "prefix_cache_bytes": getattr(eng, "_pkv_bytes", 0),
                     "mixed_adapter_waves": service.mixed_waves,
                 })
             else:

@@ -72,6 +72,10 @@ def _impl(fail=()):
         rankr1_refill=lambda: (
             boom("refill") if "refill" in fail else {"speedup": 1.5}
         ),
+        prefix_cache_waves=lambda: (
+            boom("prefix_cache") if "prefix_cache" in fail
+            else {"speedup": 1.8}
+        ),
     )
 
 

@@ -89,7 +89,8 @@ def test_score_labels_shared_matches_plain(engines):
     labels = [5, 6, 7]
     a = shared.score_labels(rows, labels)
     b = plain.score_labels(rows, labels)
-    assert ("dec_labels_shared",) in {k[:1] for k in shared._jit_cache}
+    keys = {k[0] for k in shared._jit_cache}
+    assert {"dec_labels_shared", "dec_labels_pre"} & keys
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
@@ -98,7 +99,8 @@ def test_generate_shared_matches_plain(engines):
     rows = _shared_prefix_rows(np.random.RandomState(1))
     a, na = shared.generate(rows, max_new_tokens=8)
     b, nb = plain.generate(rows, max_new_tokens=8)
-    assert ("dec_gen_shared",) in {k[:1] for k in shared._jit_cache}
+    keys = {k[0] for k in shared._jit_cache}
+    assert {"dec_gen_shared", "dec_gen_pre"} & keys
     assert a == b
     assert na == nb
 
@@ -110,7 +112,8 @@ def test_generate_shared_chunked_matches_plain(engines):
                             stop_strings=("zq",))
     b, nb = plain.generate(rows, max_new_tokens=12, chunk_tokens=4,
                            stop_strings=("zq",))
-    assert ("dec_prefill_shared",) in {k[:1] for k in shared._jit_cache}
+    keys = {k[0] for k in shared._jit_cache}
+    assert {"dec_prefill_shared", "dec_prefill_pre"} & keys
     assert a == b
     assert na == nb
 
@@ -132,7 +135,8 @@ def test_score_labels_shared_matches_plain_on_mesh():
     labels = [5, 6, 7]
     a = shared.score_labels(rows, labels)
     b = plain.score_labels(rows, labels)
-    assert ("dec_labels_shared",) in {k[:1] for k in shared._jit_cache}
+    keys = {k[0] for k in shared._jit_cache}
+    assert {"dec_labels_shared", "dec_labels_pre"} & keys
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 

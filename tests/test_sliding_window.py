@@ -205,7 +205,8 @@ def test_shared_prefix_matches_plain_windowed(tiny_win):
     rows = [pre + rng.randint(2, 500, 6 + 3 * i).tolist() for i in range(4)]
     a, na = shared.generate(rows, max_new_tokens=10, chunk_tokens=5)
     b, nb = plain.generate(rows, max_new_tokens=10, chunk_tokens=5)
-    assert ("dec_prefill_shared",) in {k[:1] for k in shared._jit_cache}
+    keys = {k[0] for k in shared._jit_cache}
+    assert {"dec_prefill_shared", "dec_prefill_pre"} & keys
     assert a == b and na == nb
 
     labels = [5, 6, 7]
