@@ -132,6 +132,88 @@ def test_subset_rankr1_headline():
     assert line["value"] == 30000.0
 
 
+def _realistic_section(i):
+    """A section payload as fat as the real ones get (rankr1 rows carry
+    ~15 keys of config + measurement)."""
+    return {
+        "model": "qwen2.5-3b-shape-v%d" % i, "batch": 32,
+        "quantize": "int8", "kv_quantize": "int8", "prefix_tokens": 800,
+        "suffix_tokens": 256, "prompt_tokens": 123456, "gen_tokens": 65432,
+        "wall_s": 12.345, "tokens_per_sec_total": 31415.9,
+        "tokens_per_sec_decode": 2718.28, "speedup": 1.23,
+        "docs_per_sec": 65.1, "seq_wall_s_per_query": 8.84,
+        "speedup_vs_reference_style": 5.75, "mfu": 0.73,
+        "p50_s": 0.201, "p99_s": 0.333,
+    }
+
+
+def test_final_line_fits_driver_tail_window_worst_case():
+    """VERDICT r4 #1 (three rounds running): the driver keeps exactly the
+    LAST 2000 chars of bench stdout and parses the final JSON line from
+    that window. r03/r04 records were unparseable because the single fat
+    line outgrew it. The compact final line must stay under the cap with
+    EVERY section populated at realistic fatness, plus errors."""
+    detail = {name: _realistic_section(i) for i, name in enumerate([
+        "flash_parity", "xl", "xl_int8", "large", "latency_large",
+        "latency_xl", "gen_large", "rankr1", "rankr1_int8",
+        "rankr1_int8_kv8_b32", "rankr1_int4", "rankr1_int4_kv8_b32",
+        "rankr1_int4_kv4_b32", "rankr1_spec", "rankr1_refill",
+        "prefix_cache", "refill_serve", "xl_bf16_opt",
+    ])}
+    # A couple of crashed sections with max-length error strings.
+    detail["gen_large"] = {"error": "RESOURCE_EXHAUSTED: " + "x" * 1980}
+    detail["rankr1_int4"] = {"error": "y" * 2000}
+    detail["device"] = "TPU v5 lite0 (some long tunnel device string)"
+    line = {
+        "metric": "setwise_heapsort_flan-t5-xl_docs_per_sec_int8",
+        "value": 65.1, "unit": "docs/s/chip", "vs_baseline": 5.75,
+        "section_errors": ["gen_large", "rankr1_int4"],
+        "detail": detail,
+    }
+    compact, det = bench.compact_record(line)
+    s = json.dumps(compact)
+    assert len(s) < bench.MAX_FINAL_LINE_CHARS, (len(s), s)
+    # Headline fields intact and parseable round-trip.
+    back = json.loads(s)
+    assert back["value"] == 65.1 and back["vs_baseline"] == 5.75
+    assert back["metric"] == "setwise_heapsort_flan-t5-xl_docs_per_sec_int8"
+    # One scalar per section made it into the summary.
+    assert back["summary"]["xl_int8"] == 65.1
+    assert back["summary"]["rankr1_int4"] == "err"
+    assert back["summary"]["rankr1_refill"] == 65.1  # docs_per_sec priority
+    # The detail came back out for separate emission, unmutilated.
+    assert det["xl"]["mfu"] == 0.73
+
+
+def test_compact_record_from_real_run_bench_output():
+    """End-to-end through the real run_bench (fake impl): the printed
+    final line is compact and the headline survives."""
+    line = bench.run_bench(ALL, impl=_impl())
+    compact, detail = bench.compact_record(line)
+    s = json.dumps(compact)
+    assert len(s) < bench.MAX_FINAL_LINE_CHARS
+    assert "detail" not in compact
+    assert compact["value"] == 80.0
+    assert compact["summary"]["xl"] == 40.0
+    assert compact["summary"]["rankr1_refill"] == 1.5
+    assert compact["summary"]["flash_parity"] == "ok"
+    assert detail == line["detail"]
+
+
+def test_compact_record_sheds_summary_under_pathological_bloat():
+    """Even a pathological record (hundreds of sections) must shed down
+    to a line under the cap without losing metric/value/vs_baseline."""
+    detail = {"sec_%04d" % i: {"speedup": 1.0 + i} for i in range(400)}
+    line = {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 2.0,
+            "detail": detail}
+    compact, _ = bench.compact_record(line)
+    s = json.dumps(compact)
+    assert len(s) < bench.MAX_FINAL_LINE_CHARS
+    back = json.loads(s)
+    assert back["value"] == 1.0 and back["vs_baseline"] == 2.0
+    assert back.get("summary_truncated") is True
+
+
 def test_default_impl_complete():
     """Every impl attribute run_bench references — `impl.<name>` access
     or the deferred `run("sec", "<name>")` string form — must exist on
