@@ -45,6 +45,19 @@ DEFAULT_LEN_BUCKETS = (64, 128, 256, 384, 512, 640, 768, 1024, 1536, 2048, 4096)
 DEFAULT_BATCH_BUCKETS = (8, 32, 64, 128, 256, 512)
 
 
+def _qkernel_backend() -> bool:
+    """Quantized Pallas kernels run on TPU (Mosaic). The force flag lets
+    CPU tests exercise the SAME kernel dataflow (interpret mode) —
+    including the shard_map mesh paths on virtual devices — so the
+    engine never silently swaps kernels by device count untested."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("LLMRANKERS_FORCE_QKERNELS") == "1"
+    )
+
+
 def _is_oom(e: BaseException) -> bool:
     """True for XLA device-memory exhaustion (any jaxlib spelling)."""
     s = str(e)
@@ -127,17 +140,17 @@ class ScoringEngine:
                         " is compute-bound on the int8 MXU — use 'int8')"
                     )
                 # Group-wise W4: decode is weight-streaming-bound, so
-                # quartered weight bytes ~ 2x the int8 decode ceiling. On
-                # a single TPU chip the matmul sites run the Pallas W4A8
-                # kernel (in-VMEM nibble unpack, int8-MXU dots); meshes
-                # and CPU take the XLA unpack fallback (quant.wmat).
+                # quartered weight bytes ~ 2x the int8 decode ceiling.
+                # On TPU the matmul sites run the Pallas W4A8 kernel
+                # (in-VMEM nibble unpack, int8-MXU dots) — per-device
+                # under shard_map on a mesh (column-parallel only; sites
+                # whose local N doesn't tile fall back per-site, see
+                # quant.qmm). CPU takes the XLA unpack fallback.
                 params = jax.jit(quant_mod.quantize_decoder_params_int4)(
                     params
                 )
-                _1chip = mesh is None or mesh.devices.size == 1
                 if (
-                    _1chip
-                    and jax.default_backend() == "tpu"
+                    _qkernel_backend()
                     and os.environ.get("LLMRANKERS_NO_INT4_KERNEL") != "1"
                 ):
                     cfg = dataclasses.replace(cfg, int4_kernel=True)
@@ -146,33 +159,35 @@ class ScoringEngine:
                 # halved weight bytes ~ doubled decode throughput; XLA
                 # fuses the dequant into the matmul producer. Prefill's
                 # large-M GEMMs additionally ride the W8A8 int8-MXU
-                # kernel on single-chip TPU (quant.qmm dispatch).
+                # kernel on TPU (quant.qmm dispatch) — per-device under
+                # shard_map on a mesh, with the site's TP layout.
                 params = jax.jit(quant_mod.quantize_decoder_params)(params)
-                _1chip = mesh is None or mesh.devices.size == 1
                 if (
-                    _1chip
-                    and jax.default_backend() == "tpu"
+                    _qkernel_backend()
                     and os.environ.get("LLMRANKERS_NO_INT8_KERNEL") != "1"
                 ):
                     cfg = dataclasses.replace(cfg, int8_kernel=True)
             else:
                 # T5 scoring is COMPUTE-bound: quantize weights AND route
-                # matmul sites through the Pallas W8A8 int8-MXU kernel
-                # (single-device; multi-device GSPMD meshes keep the
-                # w8a16 dequant path so sharding propagation holds).
-                # On the kernel path sibling sites are PACKED into wide
-                # GEMM leaves (quant.T5_PACKS): qkv feeds flash with no
-                # slice copies, the gated FFN runs as one fused pass.
+                # matmul sites through the Pallas W8A8 int8-MXU kernel —
+                # on a mesh, per-device under shard_map with the site's
+                # TP layout (q/k/v/wi column-parallel, o/wo row-parallel
+                # + psum; t5._mm dispatch). Sibling-site PACKING into
+                # wide GEMM leaves (quant.T5_PACKS) stays single-chip:
+                # a contiguous 'model' split of a packed leaf would mix
+                # q/k/v at device boundaries, so meshes run per-site
+                # kernels instead (qkv still fuses via the runtime
+                # concat in t5._mm_fused).
                 _1chip = mesh is None or mesh.devices.size == 1
                 _kernel_on = (
-                    _1chip
-                    and jax.default_backend() == "tpu"
+                    _qkernel_backend()
                     and os.environ.get("LLMRANKERS_NO_INT8_KERNEL") != "1"
                 )
                 import functools as _ft
 
                 params = jax.jit(
-                    _ft.partial(quant_mod.quantize_t5_params, pack=_kernel_on)
+                    _ft.partial(quant_mod.quantize_t5_params,
+                                pack=_kernel_on and _1chip)
                 )(params)
                 if _kernel_on:
                     cfg = dataclasses.replace(cfg, int8_kernel=True)

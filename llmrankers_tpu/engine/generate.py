@@ -162,10 +162,12 @@ def _cached_pv(p, vc, dtype, mode, sub: str):
 
 def _qkv(lp, hn, cfg):
     """q/k/v projections via the quant-state dispatcher (models/quant.qmm):
-    bf16, w8a16 int8, or the Pallas W4A8 int4 kernel when cfg.int4_kernel."""
-    return (qmm(lp, "wq", hn, cfg.qkernels),
-            qmm(lp, "wk", hn, cfg.qkernels),
-            qmm(lp, "wv", hn, cfg.qkernels))
+    bf16, w8a16 int8, or the Pallas W4A8 int4 kernel when cfg.int4_kernel.
+    On a mesh the kernel sites run per-device under shard_map
+    (column-parallel, decoder_param_pspecs layout)."""
+    return (qmm(lp, "wq", hn, cfg.qkernels, cfg.flash_mesh),
+            qmm(lp, "wk", hn, cfg.qkernels, cfg.flash_mesh),
+            qmm(lp, "wv", hn, cfg.qkernels, cfg.flash_mesh))
 
 
 def _ffn(lp, hn, cfg):
@@ -173,7 +175,7 @@ def _ffn(lp, hn, cfg):
     large-M int8 prefill fuses gate+up into one Pallas pass so the
     [.., d_ff] intermediates never touch HBM; decode's small-M steps and
     bf16/int4 take the per-site qmm path inside."""
-    return swiglu_ffn(lp, hn, cfg.qkernels)
+    return swiglu_ffn(lp, hn, cfg.qkernels, cfg.flash_mesh)
 
 
 
@@ -368,7 +370,7 @@ def decoder_prefill(
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + qmm(lp, "wo", a, cfg.qkernels)
+        h = h + qmm(lp, "wo", a, cfg.qkernels, cfg.flash_mesh)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         f = _ffn(lp, hn, cfg)
         # Cache padded out to T along the length axis.
@@ -464,7 +466,7 @@ def _prefill_layers(
                     scale=Dh**-0.5, use_flash=cfg.use_flash,
                     mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + qmm(lp, "wo", a, cfg.qkernels)
+        h = h + qmm(lp, "wo", a, cfg.qkernels, cfg.flash_mesh)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         f = _ffn(lp, hn, cfg)
         return h + f, (k, v)
@@ -630,7 +632,7 @@ def _decode_token_forward(params, cfg: DecoderConfig, tok, kc, vc, amask,
                 + p_self[..., None] * v.astype(jnp.float32)[:, :, None, :]
             ) / z[..., None]
         h = h + qmm(lp, "wo", a.astype(dtype).reshape(B, H * Dh),
-                    cfg.qkernels)
+                    cfg.qkernels, cfg.flash_mesh)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         f = _ffn(lp, hn, cfg)
         return h + f, (k, v)
@@ -1183,7 +1185,7 @@ def decoder_spec_decode_chunk(
                 .transpose(0, 2, 1, 3)
                 .reshape(B, S, H * Dh)
             )
-            h = h + qmm(lp, "wo", a, cfg.qkernels)
+            h = h + qmm(lp, "wo", a, cfg.qkernels, cfg.flash_mesh)
             hn2 = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
             f = _ffn(lp, hn2, cfg)
             return h + f, (k, v)

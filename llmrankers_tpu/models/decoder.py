@@ -65,9 +65,9 @@ def forward_hidden(
 
     def layer(h, lp):
         hn = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
-        q = qmm(lp, "wq", hn, cfg.qkernels)
-        k = qmm(lp, "wk", hn, cfg.qkernels)
-        v = qmm(lp, "wv", hn, cfg.qkernels)
+        q = qmm(lp, "wq", hn, cfg.qkernels, cfg.flash_mesh)
+        k = qmm(lp, "wk", hn, cfg.qkernels, cfg.flash_mesh)
+        v = qmm(lp, "wv", hn, cfg.qkernels, cfg.flash_mesh)
         if cfg.attention_bias:
             q = q + lp["bq"]
             k = k + lp["bk"]
@@ -85,9 +85,9 @@ def forward_hidden(
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
-        h = h + qmm(lp, "wo", a, cfg.qkernels)
+        h = h + qmm(lp, "wo", a, cfg.qkernels, cfg.flash_mesh)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = swiglu_ffn(lp, hn, cfg.qkernels)
+        f = swiglu_ffn(lp, hn, cfg.qkernels, cfg.flash_mesh)
         return h + f, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])

@@ -98,30 +98,61 @@ def wmat(lp: Dict[str, Any], name: str) -> jax.Array:
     return w.astype(s.dtype) * s
 
 
+# Matmul sites whose weight is ROW-parallel under TP (input dim sharded
+# on 'model', psum after) — see parallel/mesh.py pspecs. Everything else
+# is column-parallel (output dim sharded, collective-free).
+ROW_PARALLEL_SITES = frozenset(("o", "co", "wo", "w_down"))
+
+
+def _mesh_live(mesh) -> bool:
+    return mesh is not None and mesh.devices.size > 1
+
+
+def _int4_mesh_ok(mesh, x: jax.Array, n: int) -> bool:
+    """int4 kernel mesh guard: column-parallel only (group packing pins
+    the input dim), local N must stay lane-tileable, M must split over
+    the data axes."""
+    if not _mesh_live(mesh):
+        return True
+    from ..ops.int8_matmul import dp_size, tp_size
+
+    if "model" not in mesh.axis_names:
+        return False
+    return n % (tp_size(mesh) * 128) == 0 and _flat_m(x) % dp_size(mesh) == 0
+
+
 def qmm(lp: Dict[str, Any], name: str, x: jax.Array,
-        kernel: bool = False) -> jax.Array:
+        kernel: bool = False, mesh=None) -> jax.Array:
     """``x @ weight`` for a matmul site of any quantization state.
 
-    ``kernel=True`` (cfg.int4_kernel / cfg.int8_kernel: single-chip TPU)
-    routes int4-packed sites through the Pallas W4A8 kernel
+    ``kernel=True`` (cfg.int4_kernel / cfg.int8_kernel: TPU) routes
+    int4-packed sites through the Pallas W4A8 kernel
     (ops/int4_matmul.py) — halved weight HBM traffic AND int8-MXU dots —
     and LARGE-M int8 sites (prefill: M = B*L >= 1024) through the W8A8
     kernel (ops/int8_matmul.py), where the int8 MXU's ~2x bf16 peak
     pays; small-M decode steps stay on the fused w8a16 dequant, which is
     weight-streaming-bound and kernel launch overhead would lose.
     Everything else (bf16, int8 w8a16 small-M, int4 off-kernel) goes
-    through :func:`wmat`, whose dequant XLA fuses into the matmul."""
+    through :func:`wmat`, whose dequant XLA fuses into the matmul.
+
+    ``mesh``: when spanning >1 device the kernels run per-device under
+    shard_map with the site's TP layout (column-parallel by default,
+    ROW_PARALLEL_SITES psum over 'model'); sites whose shapes don't
+    shard cleanly fall back to the XLA dequant path, which GSPMD
+    partitions."""
     if (
         kernel
         and (name + SCALE4_SUFFIX) in lp
         and lp[name].shape[-1] % 128 == 0  # kernel needs lane-tileable N;
         # narrow sites (e.g. tiny-model kv projections) dequant via XLA
+        and _int4_mesh_ok(mesh, x, lp[name].shape[-1])
     ):
         from ..ops.int4_matmul import quantized_matmul_int4
 
         return quantized_matmul_int4(
             x, lp[name], lp[name + SCALE4_SUFFIX],
             interpret=jax.default_backend() != "tpu",
+            mesh=mesh if _mesh_live(mesh) else None,
         )
     if (
         kernel
@@ -130,12 +161,17 @@ def qmm(lp: Dict[str, Any], name: str, x: jax.Array,
         and lp[name].shape[-1] % 128 == 0
         and _flat_m(x) >= 1024
     ):
-        from ..ops.int8_matmul import quantized_matmul
+        from ..ops.int8_matmul import kernel_mesh_ok, quantized_matmul
 
-        return quantized_matmul(
-            x, lp[name], lp[name + SCALE_SUFFIX],
-            interpret=jax.default_backend() != "tpu",
-        )
+        part = "row" if name in ROW_PARALLEL_SITES else "col"
+        if kernel_mesh_ok(mesh, _flat_m(x), lp[name].shape[-2],
+                          lp[name].shape[-1], part):
+            return quantized_matmul(
+                x, lp[name], lp[name + SCALE_SUFFIX],
+                interpret=jax.default_backend() != "tpu",
+                mesh=mesh if _mesh_live(mesh) else None,
+                partition=part,
+            )
     # astype: int4's f32 group scales would otherwise promote a bf16
     # activation to f32 and break scan carry dtypes (no-op off-int4)
     # (quantized kernel branches above never see adapters — the engine
@@ -151,13 +187,14 @@ def _flat_m(x: jax.Array) -> int:
 
 
 def swiglu_ffn(lp: Dict[str, Any], x: jax.Array,
-               kernel: bool = False) -> jax.Array:
+               kernel: bool = False, mesh=None) -> jax.Array:
     """``silu(x@w_gate) * (x@w_up) @ w_down`` through the quant-state
     dispatch. At large M (prefill) with int8 gate/up weights the gate
     pair fuses into ONE Pallas pass (ops/int8_matmul.gated_matmul_pair)
     — the two [.., d_ff] intermediates never touch HBM. int4-packed FFNs
     (scale4 leaves) and small-M decode steps take the per-site qmm
-    dispatch unchanged."""
+    dispatch unchanged. On a mesh the gate pair is column-parallel and
+    w_down row-parallel (qmm's ROW_PARALLEL_SITES)."""
     if (
         kernel
         and ("w_gate" + SCALE_SUFFIX) in lp
@@ -166,20 +203,27 @@ def swiglu_ffn(lp: Dict[str, Any], x: jax.Array,
         and lp["w_gate"].shape[-1] % 128 == 0
         and _flat_m(x) >= 1024
     ):
-        from ..ops.int8_matmul import gated_matmul_pair
+        from ..ops.int8_matmul import gated_matmul_pair, kernel_mesh_ok
 
-        g = gated_matmul_pair(
-            x,
-            lp["w_gate"], lp["w_gate" + SCALE_SUFFIX],
-            lp["w_up"], lp["w_up" + SCALE_SUFFIX],
-            act="silu",
-            interpret=jax.default_backend() != "tpu",
-        )
+        if kernel_mesh_ok(mesh, _flat_m(x), lp["w_gate"].shape[-2],
+                          lp["w_gate"].shape[-1], "col"):
+            g = gated_matmul_pair(
+                x,
+                lp["w_gate"], lp["w_gate" + SCALE_SUFFIX],
+                lp["w_up"], lp["w_up" + SCALE_SUFFIX],
+                act="silu",
+                interpret=jax.default_backend() != "tpu",
+                mesh=mesh if _mesh_live(mesh) else None,
+            )
+        else:
+            g = jax.nn.silu(qmm(lp, "w_gate", x, kernel, mesh)) * qmm(
+                lp, "w_up", x, kernel, mesh
+            )
     else:
-        g = jax.nn.silu(qmm(lp, "w_gate", x, kernel)) * qmm(
-            lp, "w_up", x, kernel
+        g = jax.nn.silu(qmm(lp, "w_gate", x, kernel, mesh)) * qmm(
+            lp, "w_up", x, kernel, mesh
         )
-    return qmm(lp, "w_down", g, kernel)
+    return qmm(lp, "w_down", g, kernel, mesh)
 
 
 def embed_rows(params: Dict[str, Any], ids: jax.Array) -> jax.Array:

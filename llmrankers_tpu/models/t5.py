@@ -52,23 +52,42 @@ def _mm(lp: Params, name: str, x: jax.Array, cfg: T5Config,
     if s is None:
         out = x @ w
         return out if residual is None else out + residual
-    if _kernel_worthwhile(x, w, cfg):
+    part = _partition(name)
+    if _kernel_worthwhile(x, w, cfg, part):
         from ..ops.int8_matmul import quantized_matmul
 
         return quantized_matmul(
             x, w, s, residual=residual,
             interpret=jax.default_backend() != "tpu",
+            mesh=_live_mesh(cfg), partition=part,
         )
     out = x @ (w.astype(x.dtype) * s.astype(x.dtype))
     return out if residual is None else out + residual
 
 
-def _kernel_worthwhile(x: jax.Array, w: jax.Array, cfg: T5Config) -> bool:
+def _partition(name: str) -> str:
+    """TP layout of a matmul site (parallel/mesh.py pspecs): the
+    attention/FFN OUTPUT projections (o, co, wo) are row-parallel
+    (input dim over 'model', psum after); everything else is
+    column-parallel."""
+    return "row" if name.endswith("o") else "col"
+
+
+def _live_mesh(cfg: T5Config):
+    m = cfg.flash_mesh
+    return m if (m is not None and m.devices.size > 1) else None
+
+
+def _kernel_worthwhile(x: jax.Array, w: jax.Array, cfg: T5Config,
+                       partition: str = "col") -> bool:
     """Kernel-vs-dequant dispatch. Small-M GEMMs (the 2-token decoder
     pass: M = B*T ~ 64) are weight-streaming-bound — the w8a16 dequant
     path already streams int8 bytes and fuses, while a kernel call adds
     fixed pipeline cost per site (measured ~50ms across the xl decoder
-    at M=64 vs ~30ms on the dequant path)."""
+    at M=64 vs ~30ms on the dequant path). On a mesh the per-device
+    shard must additionally satisfy the kernel's shape rules
+    (ops/int8_matmul.kernel_mesh_ok) or the site falls back to the
+    GSPMD-partitioned w8a16 dequant."""
     if not cfg.int8_kernel:
         return False
     if w.shape[0] % 128 != 0 or w.shape[1] % 128 != 0:
@@ -76,7 +95,12 @@ def _kernel_worthwhile(x: jax.Array, w: jax.Array, cfg: T5Config) -> bool:
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    return m >= 1024
+    if m < 1024:
+        return False
+    from ..ops.int8_matmul import kernel_mesh_ok
+
+    return kernel_mesh_ok(_live_mesh(cfg), m, w.shape[0], w.shape[1],
+                          partition)
 
 
 def _mm_fused(lp: Params, names, x: jax.Array, cfg: T5Config):
@@ -91,6 +115,13 @@ def _mm_fused(lp: Params, names, x: jax.Array, cfg: T5Config):
     kernel_ok = (
         all(lp.get(n + _SCALE_SUFFIX) is not None for n in names)
         and all(_kernel_worthwhile(x, lp[n], cfg) for n in names)
+        # Mesh: fused sites are all column-parallel, but the runtime
+        # concat must also shard cleanly (the concatenated N splits over
+        # 'model' at arbitrary site boundaries — column-parallel math is
+        # exact for ANY column partition, scales travel with columns).
+        and (_live_mesh(cfg) is None
+             or sum(lp[n].shape[1] for n in names)
+             % (128 * _live_mesh(cfg).shape.get("model", 1)) == 0)
     )
     if not kernel_ok:
         return tuple(_mm(lp, n, x, cfg) for n in names)
@@ -98,7 +129,8 @@ def _mm_fused(lp: Params, names, x: jax.Array, cfg: T5Config):
 
     w = jnp.concatenate([lp[n] for n in names], axis=1)
     s = jnp.concatenate([lp[n + _SCALE_SUFFIX] for n in names], axis=1)
-    out = quantized_matmul(x, w, s, interpret=jax.default_backend() != "tpu")
+    out = quantized_matmul(x, w, s, interpret=jax.default_backend() != "tpu",
+                           mesh=_live_mesh(cfg))
     sizes = [lp[n].shape[1] for n in names]
     offs = [0]
     for sz in sizes:

@@ -284,15 +284,47 @@ def quantized_matmul_int4(
     sw: jax.Array,  # [nk, N] group scales
     residual: Optional[jax.Array] = None,
     interpret: bool = False,
+    mesh=None,
 ) -> jax.Array:
-    """W4A8 matmul over arbitrary leading dims (see module docstring)."""
+    """W4A8 matmul over arbitrary leading dims (see module docstring).
+
+    Mesh path: COLUMN-parallel only — nibble packing interleaves
+    k-groups along the packed input dim, so an input-dim shard would
+    split groups; decoder_param_pspecs shards every int4 leaf (and its
+    group scales) on the OUTPUT dim for exactly this reason. Under
+    shard_map each device unpacks and dots its local N columns
+    (collective-free; logically-row-parallel sites pay an activation
+    all-gather that GSPMD inserts at the shard_map boundary)."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     res2 = None if residual is None else residual.reshape(x2.shape[0], -1)
-    out = _w4a8_matmul_2d(
-        x2, p4, sw, res2,
-        out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
-        interpret=interpret,
-    )
+    out_dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .int8_matmul import dp_spec
+
+        ds = dp_spec(mesh)
+        has_res = res2 is not None
+
+        def run(x_, p_, s_, r_=None):
+            return _w4a8_matmul_2d(
+                x_, p_, s_, r_, out_dtype=out_dtype, interpret=interpret
+            )
+
+        in_specs = [P(ds, None), P(None, "model"), P(None, "model")]
+        args = [x2, p4, sw]
+        if has_res:
+            in_specs.append(P(ds, "model"))
+            args.append(res2)
+        out = shard_map(
+            run, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=P(ds, "model"), check_rep=False,
+        )(*args)
+    else:
+        out = _w4a8_matmul_2d(
+            x2, p4, sw, res2, out_dtype=out_dtype, interpret=interpret,
+        )
     return out.reshape(*lead, -1)

@@ -25,9 +25,16 @@ The reference reaches the same class of optimization by delegating to
 fp16 HF / vLLM quantization (/root/reference/llmrankers/setwise.py:46-50);
 here it is a first-party TPU kernel.
 
-Sharding: the kernel is invoked per-device. Multi-device TP callers go
-through the XLA w8a16 dequant path instead (models/t5.py::_mm) so GSPMD
-keeps propagating shardings; the single-chip bench path takes the kernel.
+Sharding: the kernel is invoked per-device. Multi-device callers pass
+``mesh`` + ``partition`` and the wrapper runs the SAME per-device kernel
+under ``shard_map`` (mirroring ops/flash.py): column-parallel sites
+(q/k/v, FFN in) shard the weight's N axis over 'model' with no
+collectives; row-parallel sites (o, FFN out) shard K over 'model',
+quantize activations per-shard (finer row scales than single-chip —
+strictly more accurate), and ``psum`` the f32 partials over ICI before
+the residual add. This replaces the reference's vLLM quantization x
+tensor_parallel_size composition (Rank-R1/run_setwise.py:109,125) with
+a first-party kernel that rides the mesh.
 """
 from __future__ import annotations
 
@@ -50,6 +57,44 @@ def _largest_divisor(n: int, cap: int, step: int = 128) -> int:
             best = t
         t += step
     return best
+
+
+# ---------------------------------------------------------------------------
+# Mesh plumbing shared by every quantized-kernel wrapper (int8/int4/gated)
+# ---------------------------------------------------------------------------
+def dp_spec(mesh):
+    """PartitionSpec entry for the flattened-M (batch*seq) axis: over
+    ('replica', 'data') when the hybrid axis exists, else 'data'."""
+    axes = tuple(a for a in ("replica", "data") if a in mesh.axis_names)
+    return axes if len(axes) > 1 else (axes[0] if axes else None)
+
+
+def dp_size(mesh) -> int:
+    return mesh.shape.get("replica", 1) * mesh.shape.get("data", 1)
+
+
+def tp_size(mesh) -> int:
+    return mesh.shape.get("model", 1)
+
+
+def kernel_mesh_ok(mesh, m: int, k: int, n: int, partition: str) -> bool:
+    """Static guard for the shard_map kernel path: every device's LOCAL
+    shard must still satisfy the single-device kernel's shape rules
+    (128-multiple K/N with a valid block divisor) and carry enough rows
+    that the int8 MXU pays (local M >= 1024 — small-M shards are
+    weight-streaming-bound and belong on the fused dequant path).
+    Callers fall back to the XLA w8a16 dequant when this says no."""
+    if mesh is None or mesh.devices.size <= 1:
+        return True
+    if "model" not in mesh.axis_names:
+        return False
+    dp = dp_size(mesh)
+    tp = tp_size(mesh)
+    if m % dp or (m // dp) < 1024:
+        return False
+    if partition == "row":
+        return k % (tp * 128) == 0 and n % 128 == 0
+    return n % (tp * 128) == 0 and k % 128 == 0
 
 
 def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -297,12 +342,64 @@ def _fusedq_matmul_2d(
     return out[:M] if pad else out
 
 
+def _sharded_fusedq(x2, w8, sw, res2, mesh, partition, out_dtype, interpret):
+    """Run _fusedq_matmul_2d per-device under shard_map.
+
+    col: w/sw shard on N over 'model', x replicated over 'model' (its M
+         rows shard over the data axes) — collective-free, each device
+         emits its N-slice of the output.
+    row: x and w shard on K over 'model'; each device quantizes its
+         LOCAL activation rows (per-shard row scales — finer than the
+         single-chip whole-row scale), accumulates f32, and the partials
+         psum over ICI. The residual is added AFTER the psum (adding it
+         per-device would count it tp times)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ds = dp_spec(mesh)
+    has_res = res2 is not None
+    if partition == "row":
+        in_specs = [P(ds, "model"), P("model", None), P(None, None)]
+        out_specs = P(ds, None)
+
+        def run(x_, w_, s_, r_=None):
+            o = _fusedq_matmul_2d(
+                x_, w_, s_, None, out_dtype=jnp.float32,
+                interpret=interpret,
+            )
+            o = jax.lax.psum(o, "model")
+            if r_ is not None:
+                o = o + r_.astype(jnp.float32)
+            return o.astype(out_dtype)
+
+        if has_res:
+            in_specs.append(P(ds, None))
+    else:
+        in_specs = [P(ds, None), P(None, "model"), P(None, "model")]
+        out_specs = P(ds, "model")
+
+        def run(x_, w_, s_, r_=None):
+            return _fusedq_matmul_2d(
+                x_, w_, s_, r_, out_dtype=out_dtype, interpret=interpret
+            )
+
+        if has_res:
+            in_specs.append(P(ds, "model"))
+    args = [x2, w8, sw] + ([res2] if has_res else [])
+    return shard_map(
+        run, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_rep=False,
+    )(*args)
+
+
 def quantized_matmul(
     x: jax.Array,  # [..., K] bf16/f32 activations
     w8: jax.Array,  # [K, N] int8
     sw: jax.Array,  # [1, N] weight column scales
     residual: Optional[jax.Array] = None,  # [..., N] fused epilogue add
     interpret: bool = False,
+    mesh=None,  # jax.sharding.Mesh with a 'model' axis, or None
+    partition: str = "col",  # weight sharding: 'col' (N) | 'row' (K)
 ) -> jax.Array:
     """Dynamic-activation W8A8 matmul over arbitrary leading dims.
 
@@ -310,16 +407,25 @@ def quantized_matmul(
     profiling the first integration showed the XLA-side quantize —
     f32 materializations, abs-reduce passes, int8 clamp/convert writes,
     and the layout copies they force — cost MORE than the int8 MXU
-    saved (docs/ARCHITECTURE.md int8 section)."""
+    saved (docs/ARCHITECTURE.md int8 section).
+
+    With ``mesh`` spanning >1 device the kernel runs per-device under
+    shard_map (see _sharded_fusedq); callers gate on kernel_mesh_ok."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     res2 = None if residual is None else residual.reshape(x2.shape[0], -1)
-    out = _fusedq_matmul_2d(
-        x2, w8, sw.astype(jnp.float32), res2,
-        out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
-        interpret=interpret,
-    )
+    out_dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    if mesh is not None and mesh.devices.size > 1:
+        out = _sharded_fusedq(
+            x2, w8, sw.astype(jnp.float32), res2, mesh, partition,
+            out_dtype, interpret,
+        )
+    else:
+        out = _fusedq_matmul_2d(
+            x2, w8, sw.astype(jnp.float32), res2,
+            out_dtype=out_dtype, interpret=interpret,
+        )
     return out.reshape(*lead, -1)
 
 
@@ -568,16 +674,39 @@ def gated_matmul_pair(
     w1: jax.Array, s1: jax.Array,
     act: str = "silu",
     interpret: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """act(x @ w0) * (x @ w1) over two separate int8 weights (decoder
     SwiGLU prefill): the [.., d_ff] gate/up intermediates never touch
-    HBM (see gated_matmul for the packed-leaf T5 variant)."""
+    HBM (see gated_matmul for the packed-leaf T5 variant). Gate/up are
+    column-parallel (N over 'model' — the decoder_param_pspecs layout),
+    so the mesh path is collective-free shard_map, like flash."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    out = _gated_pair_2d(
-        x2, w0, s0, w1, s1, act=act,
-        out_dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32,
-        interpret=interpret,
-    )
+    out_dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ds = dp_spec(mesh)
+
+        def run(x_, w0_, s0_, w1_, s1_):
+            return _gated_pair_2d(
+                x_, w0_, s0_, w1_, s1_, act=act,
+                out_dtype=out_dtype, interpret=interpret,
+            )
+
+        out = shard_map(
+            run, mesh=mesh,
+            in_specs=(P(ds, None), P(None, "model"), P(None, "model"),
+                      P(None, "model"), P(None, "model")),
+            out_specs=P(ds, "model"),
+            check_rep=False,
+        )(x2, w0, s0, w1, s1)
+    else:
+        out = _gated_pair_2d(
+            x2, w0, s0, w1, s1, act=act,
+            out_dtype=out_dtype, interpret=interpret,
+        )
     return out.reshape(*lead, -1)

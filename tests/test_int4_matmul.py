@@ -299,3 +299,33 @@ def test_int4_rejects_t5_and_lora():
     params = t5_mod.init_params(cfg, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="int4"):
         ScoringEngine("t5", cfg, params, ByteTokenizer(), quantize="int4")
+
+
+@pytest.mark.quick
+def test_int4_kernel_mesh_col_matches_single():
+    """W4A8 kernel under shard_map (VERDICT r4 #2): column-parallel —
+    packed weight + group scales shard on N over 'model'. Group packing
+    pins the input dim, so col is the only mesh layout (the pspecs in
+    parallel/mesh.py shard every int4 leaf on the output dim)."""
+    from llmrankers_tpu.ops.int4_matmul import (
+        pack_int4, quantized_matmul_int4,
+    )
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.RandomState(7)
+    M, K, N = 64, 256, 512
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.05)
+    p4, s4 = pack_int4(w)
+    res = jnp.asarray(rng.randn(M, N).astype(np.float32) * 0.1)
+    single = quantized_matmul_int4(x, p4, s4, residual=res, interpret=True)
+    for shape in ((1, 2), (2, 2), (2, 4)):
+        mesh = mesh_mod.make_mesh(
+            *shape, devices=jax.devices()[: shape[0] * shape[1]]
+        )
+        got = quantized_matmul_int4(x, p4, s4, residual=res, interpret=True,
+                                    mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(single), rtol=1e-5, atol=1e-5,
+            err_msg=str(shape),
+        )

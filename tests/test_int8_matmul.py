@@ -177,3 +177,100 @@ def test_t5_forward_packed_kernel_matches_bf16():
     a = t5_mod.forward(q_unp, cfg, ids, mask, dec)
     b = t5_mod.forward(qp, cfg, ids, mask, dec)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Mesh (shard_map) kernel paths — VERDICT r4 #2: the quantized kernels
+# must ride meshes, not silently swap to the dequant path by device count.
+# Virtual 8-CPU-device meshes (conftest), interpret-mode kernel: same
+# dataflow as Mosaic, so these pin the shard_map specs and collectives.
+# ---------------------------------------------------------------------------
+def _mesh(n_data, n_model):
+    from llmrankers_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh(n_data, n_model,
+                              devices=jax.devices()[: n_data * n_model])
+
+
+@pytest.mark.quick
+def test_quantized_matmul_mesh_col_matches_single():
+    """Column-parallel (q/k/v/FFN-in layout): N shards over 'model',
+    no collectives — bit-identical to the single-device kernel (each
+    device runs the same math on its column slice)."""
+    rng = np.random.RandomState(3)
+    M, K, N = 256, 256, 512
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    w8 = jnp.asarray(rng.randint(-127, 128, (K, N)).astype(np.int8))
+    sw = jnp.asarray(rng.rand(1, N).astype(np.float32) * 0.05)
+    res = jnp.asarray(rng.randn(M, N).astype(np.float32) * 0.1)
+    single = quantized_matmul(x, w8, sw, residual=res, interpret=True)
+    for mesh in (_mesh(1, 2), _mesh(2, 2), _mesh(2, 4)):
+        got = quantized_matmul(x, w8, sw, residual=res, interpret=True,
+                               mesh=mesh, partition="col")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(single), rtol=1e-5, atol=1e-5,
+            err_msg=str(dict(mesh.shape)),
+        )
+
+
+@pytest.mark.quick
+def test_quantized_matmul_mesh_row_matches_single():
+    """Row-parallel (o/wo layout): K shards over 'model', per-shard
+    activation row scales, f32 psum, residual added AFTER the psum.
+    Per-shard scales differ from the single-chip whole-row scale, so
+    equality is to quantization tolerance, not bitwise."""
+    rng = np.random.RandomState(4)
+    M, K, N = 256, 512, 256
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    w8 = jnp.asarray(rng.randint(-127, 128, (K, N)).astype(np.int8))
+    sw = jnp.asarray(rng.rand(1, N).astype(np.float32) * 0.05)
+    res = jnp.asarray(rng.randn(M, N).astype(np.float32) * 0.1)
+    single = np.asarray(
+        quantized_matmul(x, w8, sw, residual=res, interpret=True)
+    )
+    exact = np.asarray(x, np.float64) @ (
+        np.asarray(w8, np.float64) * np.asarray(sw, np.float64)
+    ) + np.asarray(res, np.float64)
+    for mesh in (_mesh(1, 2), _mesh(2, 2)):
+        got = np.asarray(
+            quantized_matmul(x, w8, sw, residual=res, interpret=True,
+                             mesh=mesh, partition="row")
+        )
+        scale = np.abs(exact).mean()
+        assert np.abs(got - single).mean() < 0.02 * scale, dict(mesh.shape)
+        # and both stay close to the exact unquantized product
+        assert np.abs(got - exact).mean() < 0.02 * scale, dict(mesh.shape)
+
+
+@pytest.mark.quick
+def test_gated_pair_mesh_matches_single():
+    from llmrankers_tpu.ops.int8_matmul import gated_matmul_pair
+
+    rng = np.random.RandomState(5)
+    M, K, N = 256, 256, 512
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    w0 = jnp.asarray(rng.randint(-127, 128, (K, N)).astype(np.int8))
+    w1 = jnp.asarray(rng.randint(-127, 128, (K, N)).astype(np.int8))
+    s0 = jnp.asarray(rng.rand(1, N).astype(np.float32) * 0.02)
+    s1 = jnp.asarray(rng.rand(1, N).astype(np.float32) * 0.02)
+    single = gated_matmul_pair(x, w0, s0, w1, s1, act="silu", interpret=True)
+    got = gated_matmul_pair(x, w0, s0, w1, s1, act="silu", interpret=True,
+                            mesh=_mesh(2, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_kernel_mesh_ok_guards():
+    from llmrankers_tpu.ops.int8_matmul import kernel_mesh_ok
+
+    mesh = _mesh(2, 2)
+    assert kernel_mesh_ok(None, 64, 128, 128, "col")  # no mesh: caller rules
+    assert kernel_mesh_ok(mesh, 4096, 256, 512, "col")
+    assert kernel_mesh_ok(mesh, 4096, 512, 256, "row")
+    assert not kernel_mesh_ok(mesh, 4096, 256, 384, "col")  # N % tp*128
+    assert not kernel_mesh_ok(mesh, 4096, 384, 256, "row")  # K % tp*128
+    assert not kernel_mesh_ok(mesh, 1000, 256, 512, "col")  # M % dp
+    assert not kernel_mesh_ok(mesh, 1024, 256, 512, "col")  # local M < 1024
+    data_only = _mesh(2, 1)
+    assert kernel_mesh_ok(data_only, 2048, 256, 384, "col")  # tp=1: no split
