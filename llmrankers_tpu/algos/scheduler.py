@@ -78,6 +78,12 @@ class WaveRunner:
         self._wave_event: Optional[asyncio.Event] = None
         self.num_waves = 0  # device dispatches issued (observability)
         self.num_cache_hits = 0
+        # Waves flushed while some live task was NOT yet blocked on a
+        # compare (the drain's no-progress heuristic gave up): outcomes
+        # are unchanged, but batching silently degrades — this counter is
+        # the regression guard on the scheduler's core invariant. Budget
+        # hits and the live==0 tail flush are intended and not counted.
+        self.num_submaximal_waves = 0
 
     # ------------------------------------------------------------------
     # API used by algorithm coroutines
@@ -235,6 +241,12 @@ class WaveRunner:
             self._wave_event.set()
 
     def _flush(self) -> None:
+        budget_hit = (
+            self._max_batch is not None
+            and len(self._pending) >= self._max_batch
+        )
+        if self._live > 0 and len(self._pending) < self._live and not budget_hit:
+            self.num_submaximal_waves += 1
         self._pending.sort()  # deterministic submission order
         wave = self._pending
         self._pending = []

@@ -35,6 +35,12 @@ class EngineRanker(LlmRanker):
         # Per-query adapter assignment for the current rerank_many call
         # (multi-adapter wave mixing); set via the query_adapters arg.
         self._query_adapters: Optional[List[Optional[str]]] = None
+        # Scheduler observability, cumulative across rerank_many calls;
+        # surfaced in serve /stats. submaximal_waves is the regression
+        # guard on wave maximality (scheduler.WaveRunner docs).
+        self.wave_stats: Dict[str, int] = {
+            "waves": 0, "submaximal_waves": 0, "cache_hits": 0,
+        }
 
     # Rankers whose _compare_batch threads per-row adapters into the
     # engine (batched multi-adapter mixing) override this to True.
@@ -111,6 +117,13 @@ class EngineRanker(LlmRanker):
         for s in self._query_stats:
             total.add(s)
         self.stats = total
+        # Scheduler observability: cumulative over this ranker's lifetime.
+        # submaximal_waves > 0 means the drain heuristic flushed before
+        # every live task was blocked — outcomes unchanged, batching
+        # degraded; tests assert it stays 0 (scheduler.py invariant).
+        self.wave_stats["waves"] += runner.num_waves
+        self.wave_stats["submaximal_waves"] += runner.num_submaximal_waves
+        self.wave_stats["cache_hits"] += runner.num_cache_hits
         return results
 
     def rerank(self, query: str, ranking: List[SearchResult]) -> List[SearchResult]:

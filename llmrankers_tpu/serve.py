@@ -341,6 +341,15 @@ def make_handler(service: RerankService, default_top_n: Optional[int]):
                     ),
                     "prefix_cache_bytes": getattr(eng, "_pkv_bytes", 0),
                     "mixed_adapter_waves": service.mixed_waves,
+                    # Wave-maximality guard: submaximal_waves counts
+                    # flushes issued before every live task was blocked
+                    # on a compare (scheduler drain heuristic gave up).
+                    # Expected 0; >0 means batching silently degraded.
+                    "waves": dict(
+                        getattr(service.ranker, "wave_stats", None)
+                        or {"waves": 0, "submaximal_waves": 0,
+                            "cache_hits": 0}
+                    ),
                 })
             else:
                 self._send(404, {"error": "not found"})

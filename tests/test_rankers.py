@@ -205,6 +205,10 @@ def test_rerank_many_cross_query_batching():
     # Batching means far fewer engine calls than total comparisons.
     assert eng.calls < r.total_compare
     assert len(r.per_query_stats) == 6
+    # Wave-maximality guard surfaced on the ranker (VERDICT r4 weak #4):
+    # every flush happened with all live tasks blocked on a compare.
+    assert r.wave_stats["waves"] == eng.calls
+    assert r.wave_stats["submaximal_waves"] == 0
 
 
 # ---------------------------------------------------------------------------

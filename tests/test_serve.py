@@ -91,6 +91,8 @@ def test_bad_requests(server):
         stats = json.loads(resp.read())
         assert stats["served"] >= 1
         assert "compiled_programs" in stats and "spec_lookup" in stats
+        # Wave-maximality guard rides /stats; no sub-maximal flushes.
+        assert stats["waves"]["submaximal_waves"] == 0
 
 
 def test_adapter_routing(server):
