@@ -52,8 +52,27 @@ class RankR1SetwiseLlmRanker(EngineRanker):
         # LoRARequest parity, setwise.py:494-497); None = base weights
         spec_depth: int = 1,  # >1: speculative heap pops (latency knob)
         cache_comparisons: bool = False,
+        temperature: float = 0.0,  # vLLM SamplingParams(temperature=...)
+        # parity; the reference pins 0 (run_setwise.py:116) but the
+        # serving surface exposes the knob. Sample streams are keyed by
+        # ``seed``, so a rerank call is reproducible.
+        chunk_tokens: Optional[int] = None,  # host stop-string check /
+        # slot-refill granularity (engine.generate chunking); None =
+        # engine default (256 for budgets >= 512)
     ):
         super().__init__(engine, max_wave_size)
+        if temperature and temperature > 0.0:
+            if cache_comparisons:
+                raise ValueError(
+                    "cache_comparisons requires deterministic outcomes; "
+                    "incompatible with temperature sampling"
+                )
+            if spec_depth > 1:
+                raise ValueError(
+                    "spec_depth > 1 is greedy-only (speculative "
+                    "acceptance); incompatible with temperature sampling"
+                )
+        self.temperature = float(temperature)
         if cache_comparisons:
             if num_permutation > 1:
                 raise ValueError(
@@ -84,7 +103,9 @@ class RankR1SetwiseLlmRanker(EngineRanker):
         self.method = method
         self.num_permutation = num_permutation
         self.max_completion_tokens = max_completion_tokens
+        self.chunk_tokens = chunk_tokens
         self.rng = random.Random(seed)
+        self.seed = int(seed)
         self.verbose = verbose
 
     async def _rerank_one(self, runner, qidx, query, ranking):
@@ -156,6 +177,11 @@ class RankR1SetwiseLlmRanker(EngineRanker):
         row_adapters = self._row_adapters_for(row_qidx)
         texts, ntoks = self.engine.generate(
             rows, self.max_completion_tokens, stop_strings=("</answer>",),
+            chunk_tokens=self.chunk_tokens,
+            **(
+                {"temperature": self.temperature, "seed": self.seed}
+                if self.temperature > 0.0 else {}
+            ),
             **(
                 {"row_adapters": row_adapters}
                 if row_adapters is not None else {"adapter": self.adapter}
@@ -215,8 +241,17 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         cache_comparisons: bool = False,
         method: str = "sliding",  # 'sliding' (reference) | 'topdown'
         k: int = 10,  # topdown pivot rank (unused by sliding)
+        temperature: float = 0.0,  # SamplingParams parity (see setwise)
+        seed: int = 929,
     ):
         super().__init__(engine, max_wave_size)
+        if temperature and temperature > 0.0 and cache_comparisons:
+            raise ValueError(
+                "cache_comparisons requires deterministic outcomes; "
+                "incompatible with temperature sampling"
+            )
+        self.temperature = float(temperature)
+        self.seed = int(seed)
         if cache_comparisons:
             self._cache_key_fn = self._docid_cache_key
         if method not in ("sliding", "topdown"):
@@ -278,6 +313,10 @@ class RankR1ListwiseLlmRanker(EngineRanker):
         row_adapters = self._row_adapters_for(row_qidx)
         texts, ntoks = self.engine.generate(
             rows, self.max_completion_tokens,
+            **(
+                {"temperature": self.temperature, "seed": self.seed}
+                if self.temperature > 0.0 else {}
+            ),
             **(
                 {"row_adapters": row_adapters}
                 if row_adapters is not None else {"adapter": self.adapter}

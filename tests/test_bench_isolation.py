@@ -72,6 +72,10 @@ def _impl(fail=()):
         rankr1_refill=lambda: (
             boom("refill") if "refill" in fail else {"speedup": 1.5}
         ),
+        serve_refill=lambda: (
+            boom("serve_refill") if "serve_refill" in fail
+            else {"speedup": 1.2}
+        ),
         prefix_cache_waves=lambda: (
             boom("prefix_cache") if "prefix_cache" in fail
             else {"speedup": 1.8}

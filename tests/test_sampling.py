@@ -118,3 +118,43 @@ def test_high_temperature_spreads_tokens(eng):
     g, _ = eng.generate(rows, max_new_tokens=16)
     # decoded text of byte tokenizer: compare distinct characters
     assert len(set("".join(s))) > len(set("".join(g)))
+
+
+def test_rank_r1_temperature_knob(eng):
+    """Rank-R1 rankers expose vLLM's SamplingParams temperature: sampled
+    reranks are seed-reproducible, and the knob is rejected alongside
+    features that require deterministic outcomes."""
+    from llmrankers_tpu.rankers.rank_r1 import (
+        RankR1ListwiseLlmRanker,
+        RankR1SetwiseLlmRanker,
+    )
+    from llmrankers_tpu.types import SearchResult
+
+    prompt_file = "/root/repo/llmrankers_tpu/prompts/prompt_setwise-R1.toml"
+    docs = [SearchResult(f"d{i}", 0.0, f"passage about topic {i}")
+            for i in range(5)]
+
+    def run():
+        r = RankR1SetwiseLlmRanker(
+            eng, prompt_file, num_child=2, k=3, max_completion_tokens=12,
+            temperature=1.5, seed=11,
+        )
+        out = r.rerank("which passage talks about topic 2", list(docs))
+        return [d.docid for d in out], r.total_completion_tokens
+
+    ids_a, toks_a = run()
+    ids_b, toks_b = run()
+    assert ids_a == ids_b and toks_a == toks_b
+
+    with pytest.raises(ValueError, match="cache_comparisons"):
+        RankR1SetwiseLlmRanker(eng, prompt_file, cache_comparisons=True,
+                               temperature=1.0)
+    with pytest.raises(ValueError, match="spec_depth"):
+        RankR1SetwiseLlmRanker(eng, prompt_file, spec_depth=2,
+                               temperature=1.0)
+    lw_prompt = (
+        "/root/repo/llmrankers_tpu/prompts/prompt_listwise_rankzephyr.toml"
+    )
+    with pytest.raises(ValueError, match="cache_comparisons"):
+        RankR1ListwiseLlmRanker(eng, lw_prompt, cache_comparisons=True,
+                                temperature=1.0)
