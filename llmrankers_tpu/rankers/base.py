@@ -35,12 +35,6 @@ class EngineRanker(LlmRanker):
         # Per-query adapter assignment for the current rerank_many call
         # (multi-adapter wave mixing); set via the query_adapters arg.
         self._query_adapters: Optional[List[Optional[str]]] = None
-        # Scheduler observability, cumulative across rerank_many calls;
-        # surfaced in serve /stats. submaximal_waves is the regression
-        # guard on wave maximality (scheduler.WaveRunner docs).
-        self.wave_stats: Dict[str, int] = {
-            "waves": 0, "submaximal_waves": 0, "cache_hits": 0,
-        }
 
     # Rankers whose _compare_batch threads per-row adapters into the
     # engine (batched multi-adapter mixing) override this to True.

@@ -9,7 +9,7 @@ setwise.py:75-77).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 
 @dataclass
@@ -65,6 +65,12 @@ class LlmRanker:
 
     def __init__(self) -> None:
         self.stats = RerankStats()
+        # Scheduler observability, cumulative across rerank_many calls;
+        # surfaced in serve /stats. submaximal_waves is the regression
+        # guard on wave maximality (algos/scheduler.WaveRunner docs).
+        self.wave_stats: Dict[str, int] = {
+            "waves": 0, "submaximal_waves": 0, "cache_hits": 0,
+        }
 
     # -- reference-compatible counter aliases ------------------------------
     @property
