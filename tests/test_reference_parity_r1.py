@@ -566,7 +566,7 @@ def test_r1_extraction_vote_scripted_parity(completions, perms, n_docs, want):
                 return [1, 2, 3]
 
         def generate(self, rows, max_new_tokens, stop_strings=(),
-                     adapter=None):
+                     adapter=None, chunk_tokens=None):
             return list(completions), [len(c) for c in completions]
 
     r = RankR1SetwiseLlmRanker.__new__(RankR1SetwiseLlmRanker)
@@ -576,6 +576,8 @@ def test_r1_extraction_vote_scripted_parity(completions, perms, n_docs, want):
     r.max_completion_tokens = 64
     r.adapter = None
     r.verbose = False
+    r.temperature = 0.0
+    r.chunk_tokens = None
     r.rng = _random.Random(929)
     from llmrankers_tpu.types import RerankStats
     from llmrankers_tpu.rankers.setwise import _SetRequest
