@@ -77,7 +77,7 @@ def n_params(params) -> int:
 
 
 def t5_throughput(cfg_name, cfg, n_queries, seq_queries, n_docs=100,
-                  quantize=None):
+                  quantize=None, batch_buckets=(16, 32, 64, 256)):
     """Wave-batched rerank + reference-style sequential baseline.
 
     ``quantize='int8'`` runs the batched pipeline through the W8A8
@@ -99,10 +99,18 @@ def t5_throughput(cfg_name, cfg, n_queries, seq_queries, n_docs=100,
     # observed row lengths (utils/bucketplan.py, 16-token granularity)
     # during the warm-up queries — the ~581-token setwise prompts get a
     # 592 rung instead of padding to 640 (+9.7% measured on xl int8).
+    # Row fill at this ladder is ~0.99 since engine._chunks chops
+    # oversize waves AT a batch-bucket rung (before that fix, 192-row
+    # chunks and 65-255-row waves both padded to 256 for a measured
+    # 0.77 fill and 65.97 xl-int8 docs/s; after, 85.8 — +30%, A/B'd
+    # on-chip 2026-08-19). A denser (…,128,192,256) ladder cuts
+    # dispatches 192->148 at equal fill but measured 0.996x — the MXU
+    # is indifferent at these batch-token sizes, so keep the sparse
+    # ladder and its smaller compile surface.
     engine = ScoringEngine(
         "t5", cfg, params, tok,
         len_buckets="auto:4", auto_plan_rows=512,
-        batch_buckets=(16, 32, 64, 256),
+        batch_buckets=batch_buckets,
         quantize=quantize,
     )
 
@@ -115,6 +123,18 @@ def t5_throughput(cfg_name, cfg, n_queries, seq_queries, n_docs=100,
     ranker.rerank_many(queries[:1], [rankings[0][:]])  # compile warm-up
     warm = min(16, n_queries)
     ranker.rerank_many(queries[:warm], [list(r) for r in rankings[:warm]])
+    # Precompile every batch rung at the workload's prompt rung, OUTSIDE
+    # the timed region: one cold xl compile is ~30s on-chip — a third of
+    # the timed wall — and the warm-up's wave stream is not guaranteed
+    # to hit every rung the 2-cohort pipelined stream does.
+    from llmrankers_tpu.rankers import prompts as prompts_mod
+
+    probe = tok.encode(prompts_mod.setwise_prompt(
+        queries[0], [d.text for d in rankings[0][:3]]
+    ))
+    for b in engine.batch_buckets:
+        engine.score_labels([probe] * b, ranker.label_ids[:3],
+                            ranker.decoder_prefix)
     t0 = time.perf_counter()
     _, cohort_rankers = rerank_many_pipelined(
         make_ranker, queries, [list(r) for r in rankings], cohorts=2

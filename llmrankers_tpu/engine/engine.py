@@ -886,13 +886,25 @@ class ScoringEngine:
         # the smallest rung, KEEP the raw limit — rounding up would
         # re-create the allocation the limit exists to prevent (the
         # caller's _pad_batch(b_cap=...) then pads to the chunk size).
-        # The ladder is DENSER than the batch buckets: generate row
-        # limits land between bucket rungs (e.g. a Qwen2.5-3B 1.8k-prompt
-        # budget yields ~26 rows), and rounding 26 down to the 8 bucket
-        # was measured to cost 3x decode throughput — each dispatch
-        # re-streams the full weight set, so rows-per-dispatch IS the
-        # decode throughput. A mid rung costs at most one extra compile.
-        fitting = [b for b in self._row_ladder() if b <= per]
+        # Which ladder depends on the caller:
+        #  - memory-capped generate chunks (row_limit set) use the
+        #    DENSIFIED ladder: row limits land between bucket rungs
+        #    (e.g. a Qwen2.5-3B 1.8k-prompt budget yields ~26 rows), and
+        #    rounding 26 down to the 8 bucket was measured to cost 3x
+        #    decode throughput — each dispatch re-streams the full
+        #    weight set, so rows-per-dispatch IS the decode throughput.
+        #    These chunks dispatch with b_cap, so an off-bucket rung
+        #    never pads up.
+        #  - token-budget scoring chunks (row_limit None) must land ON a
+        #    batch bucket: _pad_batch rounds the chunk's row count UP to
+        #    a bucket rung, so a densified rung that is not itself a
+        #    bucket pads every full chunk (192 -> 256 with a
+        #    (16,32,64,256) ladder = 25% systematic row-fill waste on
+        #    every wave above the budget; measured 0.77 fill on the xl
+        #    bench shape).
+        ladder = (self._row_ladder() if row_limit is not None
+                  else self.batch_buckets)
+        fitting = [b for b in ladder if b <= per]
         if fitting:
             per = max(fitting)
         for i in range(0, len(rows), per):

@@ -390,6 +390,43 @@ def test_pad_batch_cap_divisible_by_data_axis():
     assert len(texts) == 7
 
 
+def test_scoring_chunks_land_on_batch_buckets():
+    """Token-budget scoring chunks must chop at a batch-bucket rung:
+    _pad_batch rounds row counts UP to a bucket, so an off-bucket chunk
+    size (e.g. the densified ladder's 96/192 mid rungs) pads every full
+    chunk up a rung — 192 -> 256 on a (16,32,64,256) ladder was a 25%
+    systematic row-fill tax on every wave above the token budget
+    (measured 0.77 row fill at the xl bench shape)."""
+    import jax
+    from llmrankers_tpu.engine.engine import ScoringEngine
+    from llmrankers_tpu.models.config import T5Config
+    from llmrankers_tpu.models import t5 as t5_mod
+
+    cfg = T5Config.tiny()
+    params = t5_mod.init_params(cfg, jax.random.PRNGKey(0))
+    tok = ByteTokenizer(cfg.vocab_size)
+    # Budget of 96 rows at L=64; largest bucket <= 96 is 64.
+    eng = ScoringEngine("t5", cfg, params, tok, len_buckets=(64,),
+                        batch_buckets=(16, 32, 64, 256),
+                        max_batch_tokens=96 * 64)
+    rows = [list(range(2, 50)) for _ in range(300)]
+    sizes = [len(chunk) for _, chunk in eng._chunks(rows)]
+    assert sum(sizes) == 300
+    # Full chunks sit exactly on a bucket rung (no pad-up); only the
+    # remainder may round up (44 -> 64 here).
+    assert sizes[:-1] == [64, 64, 64, 64]
+    padded = 0
+    for _, chunk in eng._chunks(rows):
+        _, _, n, B = eng._pad_batch(chunk)
+        assert B >= n
+        padded += B
+    assert sum(sizes) / padded >= 0.90
+    # Memory-capped generate chunks keep the densified ladder (they
+    # dispatch with b_cap, so a mid rung never pads up).
+    gen_sizes = [len(c) for _, c in eng._chunks(rows, row_limit=100)]
+    assert gen_sizes[:-1] == [96, 96, 96]
+
+
 def test_rank_r1_spec_depth_matches_sequential():
     """Rank-R1 heapsort with speculative pops returns the same order as
     spec_depth=1 (--speculative_depth is wired through to the ranker)."""
