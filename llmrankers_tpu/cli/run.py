@@ -116,6 +116,15 @@ def build_parsers():
                             "group-wise W4A8 Pallas kernel (quarter weight "
                             "HBM; ~2x the int8 decode ceiling; expect some "
                             "accuracy loss — validate on your task)")
+    run_p.add_argument("--awq_calib_file", type=str, default=None,
+                       help="AWQ-style activation-aware calibration for "
+                            "--quantize on decoder models: a text file of "
+                            "calibration prompts (one per line, in-domain "
+                            "ranking prompts work best); per-(layer, site) "
+                            "scales fitted on them are folded into the "
+                            "weights before quantization (models/awq.py; "
+                            "the vLLM '*-AWQ' checkpoint equivalent, "
+                            "calibrated in-framework)")
     run_p.add_argument("--max_cached_adapters", type=int, default=1,
                        help="merged LoRA weight copies kept on device; "
                             "raise to the serving working set when "
@@ -307,6 +316,9 @@ def make_engine(run_args, lora_path=None):
         extra["len_buckets"] = run_args.len_buckets
     if run_args.max_batch_tokens is not None:
         extra["max_batch_tokens"] = run_args.max_batch_tokens
+    if run_args.awq_calib_file:
+        with open(run_args.awq_calib_file) as f:
+            extra["awq_calib"] = [ln.rstrip("\n") for ln in f if ln.strip()]
     return ScoringEngine(kind, cfg, params, tok, mesh=mesh,
                          quantize=run_args.quantize,
                          kv_quantize=run_args.kv_quantize,

@@ -124,10 +124,31 @@ class ScoringEngine:
         # query head) skip the prefix forward — vLLM's cross-request
         # PagedAttention prefix caching (setwise.py:450-454). 0 disables.
         prefix_cache_mb: int = 256,
+        # AWQ-style activation-aware calibration prompts (decoder +
+        # quantize only): before quantizing, fold per-(layer, site-group)
+        # scales fitted on these prompts into the weights
+        # (models/awq.py) — the vLLM-served "*-AWQ" checkpoint
+        # equivalent, calibrated in-framework on in-domain prompts.
+        awq_calib: Optional[Sequence[str]] = None,
     ):
         import dataclasses
         import os
 
+        if awq_calib and quantize is not None:
+            if kind != "decoder":
+                raise ValueError("awq_calib targets decoder models")
+            from ..models import awq as awq_mod
+
+            ids, mask = awq_mod.calib_batch_from_texts(tokenizer, awq_calib)
+            params, awq_info = awq_mod.calibrate(
+                params, cfg, ids, mask, mode=quantize
+            )
+            logger.info(
+                "AWQ calibration (%s, %d prompts): quantization-error "
+                "ratios vs uncalibrated %s", quantize, len(awq_calib),
+                awq_info,
+            )
+            self.awq_info = awq_info
         if quantize is not None:
             from ..models import quant as quant_mod
 

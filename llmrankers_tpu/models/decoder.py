@@ -50,8 +50,17 @@ def forward_hidden(
     cfg: DecoderConfig,
     input_ids: jax.Array,
     attn_mask: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (final hidden states [B, L, D], positions [B, L])."""
+    tap_idx: Optional[jax.Array] = None,
+):
+    """Returns (final hidden states [B, L, D], positions [B, L]).
+
+    ``tap_idx`` ([S] int32 indices into the flattened [B*L] token axis)
+    is a calibration-only side channel (models/awq.py): the return
+    gains a third element — per-layer input-activation samples for
+    every quantizable matmul-site group, stacked [Lyr, S, ·] by the
+    layer scan. The branch is trace-static: with tap_idx=None (every
+    production path) the compiled program is unchanged.
+    """
     B, L = input_ids.shape
     H, KV, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     x = quant_embed_rows(params, input_ids)
@@ -85,14 +94,33 @@ def forward_hidden(
         a = mha(q, k, v, kv_mask=attn_mask, causal=True, scale=Dh**-0.5,
                 use_flash=cfg.use_flash, mesh=cfg.flash_mesh, window=win)
         a = a.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+        attn_in = hn  # tap: shared input of wq/wk/wv (post-ln1)
         h = h + qmm(lp, "wo", a, cfg.qkernels, cfg.flash_mesh)
         hn = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        f = swiglu_ffn(lp, hn, cfg.qkernels, cfg.flash_mesh)
-        return h + f, None
+        if tap_idx is None:
+            f = swiglu_ffn(lp, hn, cfg.qkernels, cfg.flash_mesh)
+            return h + f, None
+        # Tap branch (calibration only; unquantized params, so this
+        # decomposition IS swiglu_ffn's dispatch path): expose the FFN
+        # intermediate g — w_down's input — which swiglu_ffn hides.
+        g = jax.nn.silu(
+            qmm(lp, "w_gate", hn, cfg.qkernels, cfg.flash_mesh)
+        ) * qmm(lp, "w_up", hn, cfg.qkernels, cfg.flash_mesh)
+        f = qmm(lp, "w_down", g, cfg.qkernels, cfg.flash_mesh)
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+        def _sample(t):
+            return t.reshape(-1, t.shape[-1])[tap_idx]
+
+        return h + f, (_sample(attn_in), _sample(a), _sample(hn),
+                       _sample(g))
+
+    x, taps = jax.lax.scan(layer, x, params["layers"])
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    return x, pos
+    if tap_idx is None:
+        return x, pos
+    return x, pos, dict(
+        zip(("attn_in", "o_in", "ffn_in", "down_in"), taps)
+    )
 
 
 def lm_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax.Array:
