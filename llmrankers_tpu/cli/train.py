@@ -52,6 +52,13 @@ def add_common(p):
                    help="held-out JSONL rows; evaluated at every save point "
                         "(v0.2's 1000-example test split, "
                         "create_dataset_v0.2.py:55-59)")
+    p.add_argument("--export_peft", type=str, default=None,
+                   help="after the final step, also export the adapter as "
+                        "a PEFT-format checkpoint dir (adapter_config.json "
+                        "+ adapter_model.safetensors) loadable by HF PEFT "
+                        "and vLLM LoRARequest — the format the reference's "
+                        "TRL trainer saves (train_grpo.py:36-44) and its "
+                        "eval driver consumes (run_setwise.py:121-127)")
 
 
 def build_parser():
@@ -172,6 +179,12 @@ def main_grpo(args):
         if (step + 1) % args.save_steps == 0 or step + 1 == args.steps:
             ckpt.save(args.output_dir, step + 1, trainer.lora, trainer.opt_state)
             run_eval(step + 1)
+    if args.export_peft:
+        from ..train.lora import save_peft_adapter
+
+        save_peft_adapter(trainer.lora, gcfg.lora, args.export_peft,
+                          base_model_name_or_path=args.model_name_or_path)
+        logger.info("exported PEFT adapter to %s", args.export_peft)
 
 
 def main_sft(args):
@@ -268,6 +281,12 @@ def main_sft(args):
             if (step + 1) % args.save_steps == 0 or step + 1 == args.steps:
                 ckpt.save(args.output_dir, step + 1, lora, opt)
                 run_eval(step + 1, lora)
+    if args.export_peft:
+        from ..train.lora import save_peft_adapter
+
+        save_peft_adapter(lora, tcfg.lora, args.export_peft,
+                          base_model_name_or_path=args.model_name_or_path)
+        logger.info("exported PEFT adapter to %s", args.export_peft)
 
 
 def cli_main() -> None:

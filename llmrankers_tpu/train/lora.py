@@ -127,6 +127,88 @@ _T5_SELF = {n: n for n in T5_TARGETS}
 _T5_CROSS = {n: "c" + n for n in T5_TARGETS}
 
 
+# Export name maps (ours -> HF/PEFT module path inside a layer). The
+# decoder side matches the Llama/Qwen naming the published Rank-R1
+# adapters use; the T5 side uses the real HF block layout (self-attn is
+# layer.0; decoder cross-attn is layer.1).
+_DEC_EXPORT = {
+    "wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+    "wv": "self_attn.v_proj", "wo": "self_attn.o_proj",
+    "w_gate": "mlp.gate_proj", "w_up": "mlp.up_proj",
+    "w_down": "mlp.down_proj",
+}
+_T5_EXPORT = {
+    **{t: f"layer.0.SelfAttention.{t}" for t in T5_TARGETS},
+    **{"c" + t: f"layer.1.EncDecAttention.{t}" for t in T5_TARGETS},
+}
+
+
+def save_peft_adapter(
+    lora: Dict[str, Any],
+    cfg: LoraConfig,
+    path: str,
+    base_model_name_or_path: str = "",
+) -> None:
+    """Export an adapter pytree as a PEFT-format checkpoint directory
+    (adapter_config.json + adapter_model.safetensors) — the inverse of
+    :func:`load_peft_adapter`.
+
+    This is the deployment bridge the reference gets from TRL/PEFT for
+    free (Rank-R1/train_grpo.py:36-44 trains with get_peft_model and
+    trainer.save_model writes PEFT files vLLM's LoRARequest then loads,
+    run_setwise.py:121-127): adapters trained here with train/grpo.py or
+    train/sft.py round-trip to HF PEFT / vLLM without conversion.
+
+    Torch tensor layout: PEFT stores lora_A as [r, in] and lora_B as
+    [out, r]; our stacked leaves are a [L, in, r] / b [L, r, out], so
+    each per-layer slice transposes on the way out (mirror of _stack).
+    """
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    is_t5 = set(lora) <= {"encoder", "decoder"} and "a" not in lora.get(
+        "encoder", lora.get("decoder", {})
+    )
+    sd: Dict[str, np.ndarray] = {}
+    modules = set()
+
+    def emit(prefix: str, name: str, ab: Dict[str, Any]) -> None:
+        modules.add(name.rsplit(".", 1)[-1])
+        a = np.asarray(jax.device_get(ab["a"]), dtype=np.float32)
+        b = np.asarray(jax.device_get(ab["b"]), dtype=np.float32)
+        for i in range(a.shape[0]):
+            sd[f"{prefix}.{i}.{name}.lora_A.weight"] = np.ascontiguousarray(a[i].T)
+            sd[f"{prefix}.{i}.{name}.lora_B.weight"] = np.ascontiguousarray(b[i].T)
+
+    if is_t5:
+        for sub in ("encoder", "decoder"):
+            for ours, ab in lora.get(sub, {}).items():
+                emit(f"base_model.model.{sub}.block", _T5_EXPORT[ours], ab)
+    else:
+        for ours, ab in lora.items():
+            emit("base_model.model.model.layers", _DEC_EXPORT[ours], ab)
+    if not sd:
+        raise ValueError("empty adapter: nothing to export")
+
+    os.makedirs(path, exist_ok=True)
+    save_file(sd, os.path.join(path, "adapter_model.safetensors"))
+    acfg = {
+        "peft_type": "LORA",
+        "r": cfg.r,
+        "lora_alpha": cfg.alpha,
+        "lora_dropout": 0.0,
+        "bias": "none",
+        "fan_in_fan_out": False,
+        "target_modules": sorted(modules),
+        "task_type": "SEQ_2_SEQ_LM" if is_t5 else "CAUSAL_LM",
+        "base_model_name_or_path": base_model_name_or_path,
+    }
+    with open(os.path.join(path, "adapter_config.json"), "w") as f:
+        json.dump(acfg, f, indent=1, sort_keys=True)
+
+
 def _load_sd(path: str) -> Dict[str, np.ndarray]:
     import os
 
